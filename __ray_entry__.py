@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship pipeline smoke on /root/testdata/sf0.001.
+queries()    — one callable per implemented operator/pipeline (SURVEY.md §2).
+oracle_sql() — DuckDB-equivalent SQL for each query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The battle-log pipeline queries run the engine (tokens -> decode -> parse ->
+enrich -> aggregate, stats_ray.*) over a deterministic synthetic corpus
+(stats_ray.synth, materialized idempotently under /tmp/stats_ray_corpus);
+their oracles are SQL over the *ground-truth* tables the synthesizer emits
+via an independent forward model (math.erf weights, scenario-scripted
+matchups). Generic relational/training-data operators run directly over the
+driver-provided sf tables.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +21,559 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_SF01 = "/root/testdata/sf0.01"
+
+
+def _half_up(x, p: int = 4):
+    """Round half away from zero (matches DuckDB ROUND for our positive sums)."""
+    a = np.asarray(x, dtype=np.float64)
+    f = 10.0 ** p
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
+def _round_cols(df: pd.DataFrame, cols, p: int = 4) -> pd.DataFrame:
+    for c in cols:
+        df[c] = _half_up(df[c].to_numpy(), p)
+    return df
+
+
+_PARSED_CACHE: dict[str, Any] = {}
+
+
+def _corpus(sf_dir: str) -> str:
+    from stats_ray import synth
+    return synth.ensure_corpus(sf_dir)
+
+
+def _parsed(sf_dir: str):
+    """Materialized parsed battles for a scale factor (cached per session)."""
+    from stats_ray.pipelines import usage as pl
+    corpus = _corpus(sf_dir)
+    if corpus not in _PARSED_CACHE:
+        _PARSED_CACHE[corpus] = pl.parse_pipeline(corpus).materialize()
+    return _PARSED_CACHE[corpus]
+
+
+# ground-truth parquet globs for the oracle (driver compares at sf=0.01)
+def _gt(name: str) -> str:
+    from stats_ray import synth
+    return f"read_parquet('{synth.corpus_dir('0.01')}/{name}/*.parquet')"
+
+
+_SKIP_RE = "random|seasonal|custom|petmod|factory|challengecup"
+
+
+def _b_cte() -> str:
+    return f"(SELECT * FROM {_gt('gt_battles')} WHERE NOT regexp_matches(format, '{_SKIP_RE}'))"
+
+
+def _bc_cte() -> str:
+    """battle x cutoff unpivot."""
+    parts = []
+    for k in range(4):
+        parts.append(
+            f"SELECT doc_id, format, short, singles, winner, lead1, lead2,"
+            f" p1, p2, p1_valid, p2_valid, p1_gxe, p2_gxe,"
+            f" cutoff{k} AS cutoff, p1_w{k} AS w1, p2_w{k} AS w2 FROM b")
+    return "(" + " UNION ALL ".join(parts) + ")"
+
+
+# ===========================================================================
+# battle-log pipeline queries (engine vs ground-truth oracle)
+
+def _q_passthrough(sf_dir: str):
+    """Token-array passthrough invariant: decode -> re-encode == tokens."""
+    import pyarrow as pa
+    import ray.data
+    from stats_ray.tokens import decode_column, encode_strings
+
+    corpus = _corpus(sf_dir)
+
+    def check(t: pa.Table) -> pa.Table:
+        docs = decode_column(t["tokens"])
+        re_enc = encode_strings(docs)
+        ok = []
+        orig = t["tokens"].combine_chunks()
+        for i in range(len(t)):
+            ok.append(orig[i].values.equals(re_enc[i].values)
+                      if orig[i].values is not None else False)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tok": t["n_tok"],
+            "ok": pa.array(ok, type=pa.bool_()),
+        })
+
+    return ray.data.read_parquet(f"{corpus}/battles").map_batches(
+        check, batch_format="pyarrow").to_pandas()
+
+
+def _q_matchups(sf_dir: str):
+    import pyarrow.compute as pc
+
+    parsed = _parsed(sf_dir)
+
+    def explode(t):
+        import pyarrow as pa
+        m = t["matchups"].combine_chunks()
+        par = pc.list_parent_indices(m)
+        flat = m.flatten()
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"].combine_chunks(), par),
+            "idx": flat.field("idx"),
+            "species1": flat.field("s1"), "species2": flat.field("s2"),
+            "outcome": flat.field("outcome").cast(pa.int32()),
+        })
+
+    return parsed.map_batches(explode, batch_format="pyarrow").to_pandas()
+
+
+def _q_weights(sf_dir: str):
+    parsed = _parsed(sf_dir)
+
+    def explode(t):
+        import pyarrow as pa
+        frames = []
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        for side in (1, 2):
+            for k in range(4):
+                frames.append(pd.DataFrame({
+                    "doc_id": doc, "side": np.int32(side),
+                    "cutoff": t[f"cutoff{k}"].to_numpy().astype(np.int32),
+                    "weight": _half_up(t[f"p{side}_w{k}"].to_numpy(), 6),
+                }))
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    return parsed.map_batches(explode, batch_format="pyarrow").to_pandas()
+
+
+def _q_slots(sf_dir: str):
+    import pyarrow.compute as pc
+
+    parsed = _parsed(sf_dir)
+
+    def explode(t):
+        import pyarrow as pa
+        s = t["slots"].combine_chunks()
+        par = pc.list_parent_indices(s)
+        flat = s.flatten()
+        cols = {"doc_id": pc.take(t["doc_id"].combine_chunks(), par)}
+        for f in flat.type:
+            a = flat.field(f.name)
+            if pa.types.is_integer(a.type):
+                a = a.cast(pa.int32())
+            cols[f.name] = a
+        return pa.table(cols)
+
+    return parsed.map_batches(explode, batch_format="pyarrow").to_pandas()
+
+
+def _q_usage(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    df = agg.usage_stats(_parsed(sf_dir)).to_pandas()
+    return _round_cols(df, ["raw_weight", "saved_weight", "usage_weighted",
+                            "win_weighted"])
+
+
+def _q_movesets(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    df = agg.moveset_stats(_parsed(sf_dir)).to_pandas()
+    return _round_cols(df, ["weight"])
+
+
+def _q_leads(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    df = agg.lead_stats(_parsed(sf_dir)).to_pandas()
+    return _round_cols(df, ["lead_weighted"])
+
+
+def _q_battles(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    return agg.battle_counts(_parsed(sf_dir)).to_pandas()
+
+
+def _q_encounters(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    df = agg.encounter_stats(_parsed(sf_dir)).to_pandas()
+    df["outcome"] = df["outcome"].astype("int32")
+    return _round_cols(df, ["weight"])
+
+
+def _q_teammates(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    df = agg.teammate_stats(_parsed(sf_dir)).to_pandas()
+    return _round_cols(df, ["weight"])
+
+
+def _q_metagame(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    df = agg.metagame_stats(_parsed(sf_dir)).to_pandas()
+    return _round_cols(df, ["weight"])
+
+
+def _q_unique(sf_dir: str):
+    from stats_ray.stages import aggregate as agg
+    df = agg.unique_player_rollup(_parsed(sf_dir)).to_pandas()
+    df["n_players"] = df["n_players"].astype("int64")
+    df["real_players"] = df["real_players"].astype("int64")
+    return _round_cols(df, ["sum_max_weight"])
+
+
+def _q_player_wins(sf_dir: str):
+    """A13: win/loss/tie tally per (format, player)."""
+    from ray.data.aggregate import Sum
+    parsed = _parsed(sf_dir)
+
+    def explode(t):
+        import pyarrow as pa
+        fmt = t["format"].to_numpy(zero_copy_only=False)
+        frames = []
+        for side in (1, 2):
+            pl_ = t[f"p{side}"].to_numpy(zero_copy_only=False)
+            win = (t["winner"].to_numpy() == side).astype(np.int64)
+            loss = ((t["winner"].to_numpy() != side)
+                    & (t["winner"].to_numpy() != 0)).astype(np.int64)
+            tie = (t["winner"].to_numpy() == 0).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "format": fmt, "player": pl_, "wins": win, "losses": loss,
+                "ties": tie}))
+        df = pd.concat(frames, ignore_index=True)
+        out = df.groupby(["format", "player"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (parsed.map_batches(explode, batch_format="pyarrow")
+            .groupby(["format", "player"])
+            .aggregate(Sum("wins", alias_name="wins"),
+                       Sum("losses", alias_name="losses"),
+                       Sum("ties", alias_name="ties"))
+            .to_pandas())
+
+
+def _q_top_teams(sf_dir: str):
+    """A16: dedup teams by composition key, keep best rating, top 20."""
+    from ray.data.aggregate import Max
+    parsed = _parsed(sf_dir)
+
+    def explode(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        s = t["slots"].combine_chunks()
+        par = pc.list_parent_indices(s).to_numpy()
+        flat = s.flatten()
+        side = flat.field("side").to_numpy()
+        species = flat.field("species").to_numpy(zero_copy_only=False)
+        fmt = t["format"].to_numpy(zero_copy_only=False)
+        rpr = {1: t["p1_rpr"].to_numpy(zero_copy_only=False),
+               2: t["p2_rpr"].to_numpy(zero_copy_only=False)}
+        df = pd.DataFrame({"b": par, "side": side, "species": species})
+        keys = (df.groupby(["b", "side"], sort=False)["species"]
+                .agg("|".join).reset_index())
+        r = np.where(keys["side"] == 1, rpr[1][keys["b"]], rpr[2][keys["b"]])
+        out = pd.DataFrame({
+            "format": fmt[keys["b"]], "team_key": keys["species"],
+            "rating": np.where(np.isnan(r.astype(np.float64)), -1.0,
+                               r.astype(np.float64)),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    top = (parsed.map_batches(explode, batch_format="pyarrow")
+           .groupby(["format", "team_key"])
+           .aggregate(Max("rating", alias_name="rating"))
+           .sort(["rating", "format", "team_key"], descending=[True, False, False])
+           .limit(20))
+    return top.to_pandas()
+
+
+def _q_format_days(sf_dir: str):
+    """S7 routed-row counts per (format, day) partition — no parse needed."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    corpus = _corpus(sf_dir)
+
+    def explode(t):
+        src = t["source"].to_pylist()
+        fmt = [s.split("/", 1)[0] for s in src]
+        day = [int(s.rsplit("-", 1)[1]) for s in src]
+        df = pd.DataFrame({"format": fmt, "day": np.array(day, dtype=np.int32),
+                           "n": 1})
+        out = df.groupby(["format", "day"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ray.data.read_parquet(f"{corpus}/battles", columns=["source"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby(["format", "day"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL for the battle queries
+
+def _sql_passthrough():
+    return (f"SELECT doc_id, n_tok, CAST(TRUE AS BOOLEAN) AS ok "
+            f"FROM {_gt('battles')}")
+
+
+def _sql_matchups():
+    return (f"WITH b AS {_b_cte()} "
+            f"SELECT m.doc_id, CAST(m.idx AS INTEGER) AS idx, m.s1 AS species1,"
+            f" m.s2 AS species2, CAST(m.outcome AS INTEGER) AS outcome "
+            f"FROM {_gt('gt_matchups')} m JOIN b USING (doc_id)")
+
+
+def _sql_weights():
+    parts = []
+    for side in (1, 2):
+        for k in range(4):
+            parts.append(
+                f"SELECT doc_id, CAST({side} AS INTEGER) AS side,"
+                f" CAST(cutoff{k} AS INTEGER) AS cutoff,"
+                f" ROUND(p{side}_w{k}, 6) AS weight FROM b")
+    return f"WITH b AS {_b_cte()} " + " UNION ALL ".join(parts)
+
+
+def _sql_slots():
+    return (
+        f"WITH b AS {_b_cte()} "
+        f"SELECT s.doc_id, CAST(s.side AS INTEGER) AS side,"
+        f" CAST(s.slot AS INTEGER) AS slot, s.player, s.species, s.item,"
+        f" s.ability, s.nature, CAST(s.happiness AS INTEGER) AS happiness,"
+        f" CAST(s.level AS INTEGER) AS level, s.tera, s.move1, s.move2,"
+        f" s.move3, s.move4, s.spread, s.stats,"
+        f" CAST(s.turns_out AS INTEGER) AS turns_out,"
+        f" CAST(s.kos AS INTEGER) AS kos "
+        f"FROM {_gt('gt_slots')} s JOIN b USING (doc_id)")
+
+
+def _sql_usage():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()} "
+        f"SELECT bc.format, bc.cutoff, s.species,"
+        f" COUNT(*) AS raw_count,"
+        f" ROUND(SUM(CASE WHEN s.side=1 THEN bc.w1 ELSE bc.w2 END), 4) AS raw_weight,"
+        f" CAST(SUM(CASE WHEN (CASE WHEN s.side=1 THEN bc.p1_valid ELSE bc.p2_valid END)"
+        f"   THEN 1 ELSE 0 END) AS BIGINT) AS saved_count,"
+        f" ROUND(SUM(CASE WHEN (CASE WHEN s.side=1 THEN bc.p1_valid ELSE bc.p2_valid END)"
+        f"   THEN (CASE WHEN s.side=1 THEN bc.w1 ELSE bc.w2 END) ELSE 0 END), 4) AS saved_weight,"
+        f" CAST(SUM(CASE WHEN NOT bc.short THEN 1 ELSE 0 END) AS BIGINT) AS usage_raw,"
+        f" CAST(SUM(CASE WHEN NOT bc.short AND s.turns_out > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f"   AS usage_real,"
+        f" ROUND(SUM(CASE WHEN NOT bc.short THEN (CASE WHEN s.side=1 THEN bc.w1 ELSE bc.w2 END)"
+        f"   ELSE 0 END), 4) AS usage_weighted,"
+        f" CAST(SUM(CASE WHEN NOT bc.short AND bc.winner = s.side THEN 1 ELSE 0 END) AS BIGINT)"
+        f"   AS win_raw,"
+        f" CAST(SUM(CASE WHEN NOT bc.short AND bc.winner = s.side AND s.turns_out > 0"
+        f"   THEN 1 ELSE 0 END) AS BIGINT) AS win_real,"
+        f" ROUND(SUM(CASE WHEN NOT bc.short AND bc.winner = s.side"
+        f"   THEN (CASE WHEN s.side=1 THEN bc.w1 ELSE bc.w2 END) ELSE 0 END), 4)"
+        f"   AS win_weighted "
+        f"FROM {_gt('gt_slots')} s JOIN bc USING (doc_id) "
+        f"GROUP BY 1, 2, 3")
+
+
+def _sql_movesets():
+    kinds = [
+        ("ability", "CASE WHEN s.ability='unknown' THEN 'illuminate' ELSE s.ability END"),
+        ("item", "s.item"), ("tera", "s.tera"), ("spread", "s.spread"),
+        ("stats", "s.stats"), ("happiness", "CAST(s.happiness AS VARCHAR)"),
+        ("move", "s.move1"), ("move", "s.move2"), ("move", "s.move3"),
+        ("move", "s.move4"),
+    ]
+    branches = []
+    for kind, expr in kinds:
+        branches.append(
+            f"SELECT bc.format, bc.cutoff, s.species, '{kind}' AS kind,"
+            f" {expr} AS key, CASE WHEN s.side=1 THEN bc.w1 ELSE bc.w2 END AS w"
+            f" FROM {_gt('gt_slots')} s JOIN bc USING (doc_id)")
+    inner = " UNION ALL ".join(branches)
+    return (f"WITH b AS {_b_cte()}, bc AS {_bc_cte()} "
+            f"SELECT format, cutoff, species, kind, key,"
+            f" ROUND(SUM(w), 4) AS weight FROM ({inner}) GROUP BY 1,2,3,4,5")
+
+
+def _sql_leads():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()}, "
+        f"counted AS (SELECT * FROM bc WHERE NOT short AND singles"
+        f" AND lead1 <> 'empty' AND lead2 <> 'empty'), "
+        f"x AS (SELECT format, cutoff, lead1 AS species, w1 AS w FROM counted"
+        f" UNION ALL SELECT format, cutoff, lead2, w2 FROM counted) "
+        f"SELECT format, cutoff, species, COUNT(*) AS lead_raw,"
+        f" COUNT(*) AS lead_real, ROUND(SUM(w), 4) AS lead_weighted"
+        f" FROM x GROUP BY 1, 2, 3")
+
+
+def _sql_battles():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()} "
+        f"SELECT format, cutoff, COUNT(*) AS battles FROM bc"
+        f" WHERE NOT short AND (NOT singles OR (lead1 <> 'empty' AND lead2 <> 'empty'))"
+        f" GROUP BY 1, 2")
+
+
+_INV_CASE = ("CASE m.outcome WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 3 THEN 4"
+             " WHEN 4 THEN 3 WHEN 6 THEN 7 WHEN 7 THEN 6 WHEN 8 THEN 9"
+             " WHEN 9 THEN 8 WHEN 10 THEN 11 WHEN 11 THEN 10"
+             " ELSE m.outcome END")
+
+
+def _sql_encounters():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()}, "
+        f"counted AS (SELECT * FROM bc WHERE NOT short AND"
+        f" (NOT singles OR (lead1 <> 'empty' AND lead2 <> 'empty'))), "
+        f"x AS ("
+        f"SELECT c.format, c.cutoff, m.s1 AS species, m.s2 AS opponent,"
+        f" CAST(m.outcome AS INTEGER) AS outcome, LEAST(c.w1, c.w2) AS w"
+        f" FROM {_gt('gt_matchups')} m JOIN counted c USING (doc_id)"
+        f" UNION ALL "
+        f"SELECT c.format, c.cutoff, m.s2, m.s1,"
+        f" CAST({_INV_CASE} AS INTEGER), LEAST(c.w1, c.w2)"
+        f" FROM {_gt('gt_matchups')} m JOIN counted c USING (doc_id)) "
+        f"SELECT format, cutoff, species, opponent, outcome,"
+        f" ROUND(SUM(w), 4) AS weight FROM x GROUP BY 1, 2, 3, 4, 5")
+
+
+def _sql_teammates():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()} "
+        f"SELECT bc.format, bc.cutoff,"
+        f" LEAST(x.species, y.species) AS s1, GREATEST(x.species, y.species) AS s2,"
+        f" ROUND(SUM(CASE WHEN x.side=1 THEN bc.w1 ELSE bc.w2 END), 4) AS weight"
+        f" FROM {_gt('gt_slots')} x JOIN {_gt('gt_slots')} y"
+        f" ON x.doc_id = y.doc_id AND x.side = y.side AND x.slot < y.slot"
+        f" JOIN bc ON bc.doc_id = x.doc_id WHERE NOT bc.short"
+        f" GROUP BY 1, 2, 3, 4")
+
+
+def _sql_metagame():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()}, "
+        f"nm AS (SELECT doc_id, side, COUNT(*) AS n FROM {_gt('gt_slots')}"
+        f" GROUP BY 1, 2) "
+        f"SELECT bc.format, bc.cutoff, g.tag,"
+        f" ROUND(SUM((CASE WHEN g.side=1 THEN bc.w1 ELSE bc.w2 END) * nm.n), 4)"
+        f" AS weight"
+        f" FROM {_gt('gt_tags')} g JOIN bc USING (doc_id)"
+        f" JOIN nm ON nm.doc_id = g.doc_id AND nm.side = g.side"
+        f" WHERE NOT bc.short GROUP BY 1, 2, 3")
+
+
+def _sql_unique():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()}, "
+        f"rows_ AS (SELECT bc.format, bc.cutoff, s.species, s.player,"
+        f" CASE WHEN NOT bc.short AND s.turns_out > 0 THEN 1 ELSE 0 END AS r,"
+        f" CASE WHEN NOT bc.short THEN (CASE WHEN s.side=1 THEN bc.w1 ELSE bc.w2 END)"
+        f"   ELSE 0 END AS w"
+        f" FROM {_gt('gt_slots')} s JOIN bc USING (doc_id)), "
+        f"per AS (SELECT format, cutoff, species, player, MAX(r) AS r, MAX(w) AS w"
+        f" FROM rows_ GROUP BY 1, 2, 3, 4) "
+        f"SELECT format, cutoff, species, COUNT(*) AS n_players,"
+        f" CAST(SUM(r) AS BIGINT) AS real_players,"
+        f" ROUND(SUM(w), 4) AS sum_max_weight FROM per GROUP BY 1, 2, 3")
+
+
+def _sql_player_wins():
+    return (
+        f"WITH b AS {_b_cte()}, "
+        f"x AS (SELECT format, p1 AS player,"
+        f" CASE WHEN winner=1 THEN 1 ELSE 0 END AS w,"
+        f" CASE WHEN winner=2 THEN 1 ELSE 0 END AS l,"
+        f" CASE WHEN winner=0 THEN 1 ELSE 0 END AS t FROM b"
+        f" UNION ALL SELECT format, p2,"
+        f" CASE WHEN winner=2 THEN 1 ELSE 0 END,"
+        f" CASE WHEN winner=1 THEN 1 ELSE 0 END,"
+        f" CASE WHEN winner=0 THEN 1 ELSE 0 END FROM b) "
+        f"SELECT format, player, CAST(SUM(w) AS BIGINT) AS wins,"
+        f" CAST(SUM(l) AS BIGINT) AS losses, CAST(SUM(t) AS BIGINT) AS ties"
+        f" FROM x GROUP BY 1, 2")
+
+
+def _sql_top_teams():
+    return (
+        f"WITH b AS {_b_cte()}, "
+        f"teams AS (SELECT s.doc_id, s.side, b.format,"
+        f" STRING_AGG(s.species, '|' ORDER BY s.slot) AS team_key,"
+        f" ANY_VALUE(CASE WHEN s.side=1 THEN COALESCE(b.p1_rpr, -1)"
+        f"   ELSE COALESCE(b.p2_rpr, -1) END) AS rating"
+        f" FROM {_gt('gt_slots')} s JOIN b USING (doc_id) GROUP BY 1, 2, 3), "
+        f"best AS (SELECT format, team_key, MAX(rating) AS rating FROM teams"
+        f" GROUP BY 1, 2) "
+        f"SELECT format, team_key, rating FROM best"
+        f" ORDER BY rating DESC, format, team_key LIMIT 20")
+
+
+def _sql_format_days():
+    return (f"SELECT format, CAST(day AS INTEGER) AS day, COUNT(*) AS n"
+            f" FROM {_gt('gt_battles')} GROUP BY 1, 2")
+
+
+# ===========================================================================
+# driver contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: parse + weighted usage aggregate."""
+    from stats_ray.stages import aggregate as agg
+    parsed = _parsed("/root/testdata/sf0.001")
+    return agg.usage_stats(parsed)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {
+        "battle_passthrough": _q_passthrough,
+        "battle_matchups": _q_matchups,
+        "battle_weights": _q_weights,
+        "battle_slots": _q_slots,
+        "battle_usage": _q_usage,
+        "battle_movesets": _q_movesets,
+        "battle_leads": _q_leads,
+        "battle_battles": _q_battles,
+        "battle_encounters": _q_encounters,
+        "battle_teammates": _q_teammates,
+        "battle_metagame": _q_metagame,
+        "battle_unique_players": _q_unique,
+        "battle_player_wins": _q_player_wins,
+        "battle_top_teams": _q_top_teams,
+        "battle_format_days": _q_format_days,
+    }
+    from stats_ray.ops import queries as generic
+    q.update(generic.QUERIES)
+    return q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def oracle_sql_for(corpus: str) -> dict[str, str]:
+    """Oracle SQL with the ground-truth paths rebased onto another corpus
+    (used by tests against small throwaway corpora)."""
+    from stats_ray import synth
+    base = synth.corpus_dir("0.01")
+    return {k: v.replace(base, corpus) for k, v in oracle_sql().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "battle_passthrough": _sql_passthrough(),
+        "battle_matchups": _sql_matchups(),
+        "battle_weights": _sql_weights(),
+        "battle_slots": _sql_slots(),
+        "battle_usage": _sql_usage(),
+        "battle_movesets": _sql_movesets(),
+        "battle_leads": _sql_leads(),
+        "battle_battles": _sql_battles(),
+        "battle_encounters": _sql_encounters(),
+        "battle_teammates": _sql_teammates(),
+        "battle_metagame": _sql_metagame(),
+        "battle_unique_players": _sql_unique(),
+        "battle_player_wins": _sql_player_wins(),
+        "battle_top_teams": _sql_top_teams(),
+        "battle_format_days": _sql_format_days(),
+    }
+    from stats_ray.ops import queries as generic
+    sql.update(generic.ORACLES)
+    return sql

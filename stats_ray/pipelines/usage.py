@@ -1,0 +1,93 @@
+"""Flagship pipeline: battles (tokens) -> parse -> route -> aggregates.
+
+Mirrors `process smogon/stats` (workflows/smogon/stats.ts; SURVEY.md §3.1)
+as a Ray Data streaming pipeline:
+
+  read_parquet(battles)                      # S1: pruned columnar read
+    -> filter skipped formats (F1)           # vectorized Arrow predicate
+    -> map_batches(ParseBattles, actor pool) # M1-M14 + weights (A1/A2)
+    -> write_parquet(parsed/, partitioned by format)   # S7 routing sink
+    -> per-family explode + partial combine + groupby-sum (A3-A9)
+
+`parse_pipeline` keeps everything lazy; `run_flagship` routes the parsed
+battles to a per-format partitioned Parquet sink once and then runs every
+aggregate family off the routed copy (column-pruned re-reads), which is the
+resumable checkpoint layout (S4): a rerun can skip finished partitions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data import Dataset
+
+from ..stages import aggregate as agg
+from ..stages.parse import ParseBattles
+from .. import dex
+
+_SKIP_RE = "|".join(dex.SKIP_FORMAT_MARKERS)
+
+
+def read_battles(corpus_dir: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{corpus_dir}/battles", columns=columns)
+
+
+def filter_formats(ds: Dataset) -> Dataset:
+    """F1 format gate — vectorized on `source` (format is the path prefix)."""
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.match_substring_regex(t["source"], _SKIP_RE)))
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster, leaving headroom
+    for the read and shuffle stages."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus))
+
+
+def parse_pipeline(corpus_dir: str, *, strict: bool = True,
+                   concurrency=None, batch_size: int = 256) -> Dataset:
+    ds = read_battles(corpus_dir)
+    ds = filter_formats(ds)
+    return ds.map_batches(
+        ParseBattles, fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency())
+
+
+def route_parsed(parsed: Dataset, out_dir: str) -> None:
+    """S7/S4: per-format partitioned, resumable sink."""
+    parsed.write_parquet(out_dir, partition_cols=["format"])
+
+
+AGG_FAMILIES = {
+    "usage": agg.usage_stats,
+    "movesets": agg.moveset_stats,
+    "leads": agg.lead_stats,
+    "battles": agg.battle_counts,
+    "encounters": agg.encounter_stats,
+    "teammates": agg.teammate_stats,
+    "metagame": agg.metagame_stats,
+    "unique": agg.unique_player_rollup,
+}
+
+
+def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
+                 concurrency=None) -> dict[str, int]:
+    """Parse once, route to parquet, then aggregate each family from the
+    routed copy. Returns row counts per family (forces execution)."""
+    parsed = parse_pipeline(corpus_dir, concurrency=concurrency)
+    route_parsed(parsed, f"{out_dir}/parsed")
+    routed = ray.data.read_parquet(f"{out_dir}/parsed")
+    counts = {}
+    for name in (families or AGG_FAMILIES):
+        out = AGG_FAMILIES[name](routed)
+        out.write_parquet(f"{out_dir}/agg/{name}")
+        counts[name] = ray.data.read_parquet(f"{out_dir}/agg/{name}").count()
+    return counts

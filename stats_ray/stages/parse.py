@@ -1,0 +1,442 @@
+"""Battle parse stage: tokens -> structured battle rows.
+
+The engine's M1-M7 operators (SURVEY.md §2.2) as one Ray Data actor-pool
+stage: decode int32 tokens to the JSON document (vectorized over the Arrow
+list buffer), validate, canonicalize both teams against the dex, run the
+protocol-line state machine to reconstruct matchups/turnsOut/kos, classify
+the teams, and compute per-cutoff Glicko weights (vectorized Cody erf).
+
+Semantics replicate the reference parser (stats/src/parser.ts:68-399) and
+weighting (stats/src/stats.ts:245-270); see each helper's citation. This is
+an independent implementation — ground truth for tests comes from
+stats_ray.synth's forward scenario model.
+
+Usage:
+    ds.map_batches(ParseBattles, batch_format="pyarrow",
+                   concurrency=N, batch_size=256)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .. import dex
+from ..dex import to_id
+from ..functions.statmath import hidden_power_type, spread_and_stats
+from ..functions.weights import effective_rating, gxe, weighting
+from ..schema import PARSED_SCALARS, PARSED_SCHEMA, MATCHUP_T, SLOT_T
+from ..tokens import decode_column
+from .classify import classify_team
+
+# Outcome enum (stats/src/util.ts:8-22)
+P1_KOED, P2_KOED, DOUBLE_DOWN = 0, 1, 2
+P1_SWITCHED_OUT, P2_SWITCHED_OUT, DOUBLE_SWITCH = 3, 4, 5
+P1_FORCED_OUT, P2_FORCED_OUT = 6, 7
+P1_UTURN_KOED, P2_UTURN_KOED = 8, 9
+P1_FODDERED, P2_FODDERED = 10, 11
+UNKNOWN = 12
+
+
+class ParseError(ValueError):
+    pass
+
+
+def canonicalize_format(fmt: str) -> str:
+    """util.ts:260-275 (subset relevant to modern format ids)."""
+    fmt = to_id(fmt)
+    if fmt.endswith("current"):
+        fmt = fmt[:-7]
+    if fmt.startswith("pokebank"):
+        fmt = fmt[8:-4]
+    if fmt.startswith("oras"):
+        fmt = fmt[4:]
+    return fmt
+
+
+def canonicalize_team(team: list[dict]) -> list[dict]:
+    """Engine implementation of Parser.canonicalizeTeam (parser.ts:278-334)."""
+    out = []
+    for p in team or []:
+        if not p:
+            continue
+        item = to_id(p.get("item") or "")
+        item = item if item in dex.ITEMS else "nothing"
+        happiness = p.get("happiness")
+        happiness = 255 if happiness is None else happiness
+        nature = to_id(p.get("nature") or "")
+        nature = nature if nature in dex.NATURES else "hardy"
+        evs = {k: 0 for k in ("hp", "atk", "def", "spa", "spd", "spe")}
+        for k, v in (p.get("evs") or {}).items():
+            if k in evs:
+                evs[k] = int(v)
+        ivs = {k: 31 for k in evs}
+        for k, v in (p.get("ivs") or {}).items():
+            if k in ivs:
+                ivs[k] = int(v)
+        moves = []
+        for mv in (p.get("moves") or [])[:4]:
+            m = to_id(mv)
+            if m == "hiddenpower":
+                t = p.get("hpType") or hidden_power_type(ivs)
+                m = f"hiddenpower{to_id(t)}"
+            moves.append(m)
+        while len(moves) < 4:
+            moves.append("")
+        level = p.get("forcedLevel") or p.get("level") or 100
+        ability = to_id(p.get("ability") or "")
+        ability = ability if ability in dex.ABILITIES else "unknown"
+        sid = dex.species_id(p.get("species") or p.get("name") or "")
+        if sid is None:
+            raise ParseError(f"Unknown species '{p.get('species')}'")
+        tera = p.get("teraType") or "nothing"
+        # forme overrides (parser.ts:318-331)
+        if sid == "greninja" and ability == "battlebond":
+            sid = "greninjaash"
+        elif sid == "zacian" and item == "rustedsword":
+            sid = "zaciancrowned"
+        elif sid == "zamazenta" and item == "rustedshield":
+            sid = "zamazentacrowned"
+        else:
+            mega = _mega_evolution(sid, item)
+            if mega:
+                sid, ability = mega
+        out.append({
+            "name": p.get("name") or "",
+            "species": sid, "item": item, "ability": ability, "nature": nature,
+            "moves": moves, "evs": evs, "ivs": ivs, "level": level,
+            "happiness": happiness, "tera": tera,
+        })
+    return out
+
+
+def _mega_evolution(sid: str, item: str):
+    """util.ts:67-93 over our dex (Blue/Red Orb + mega stones)."""
+    if item == "blueorb" and dex.base_species(sid) == "kyogre":
+        return "kyogreprimal", "primordialsea"
+    if item == "redorb" and dex.base_species(sid) == "groudon":
+        return "groudonprimal", "desolateland"
+    stone = dex.MEGA_STONES.get(item)
+    if stone and stone[0] == sid:
+        return stone[1], stone[2]
+    return None
+
+
+def _identify(name: str, side: str, mons: list[dict], idents: dict) -> int:
+    """parser.ts:344-399."""
+    names = idents[side]
+    if name.startswith(f"{side}a: ") or name.startswith(f"{side}: "):
+        nick = name[name.index(" ") + 1:]
+        found = []
+        for i, n in enumerate(names):
+            if n == nick:
+                return i
+            if nick.startswith(n):
+                found.append((i, n))
+        if found:
+            longest = max(found, key=lambda f: len(f[1]))
+            names[longest[0]] = longest[1]
+            return longest[0]
+    else:
+        sid = dex.species_id(name)
+        if sid is None:
+            raise ParseError(f"Unknown species '{name}'")
+        for i, m in enumerate(mons):
+            if m["species"] == sid:
+                return i
+        if dex.is_mega(sid) or sid in dex.FORMES:
+            sid = dex.base_species(sid)
+        for i, m in enumerate(mons):
+            if m["species"].startswith(sid):
+                return i
+    raise ParseError(f"Unable to locate {side}'s '{name}'")
+
+
+_ROAR = dex.ROAR_MOVES
+_UTURN = dex.UTURN_MOVES
+
+
+def parse_battle(doc: dict, fmt: str, singles: bool) -> dict:
+    """One document -> parsed battle dict (parser.ts:68-275)."""
+    if doc.get("turns") is None:
+        raise ParseError("No turn count")
+    log = doc.get("log")
+    winner = 0
+    if log:
+        winners = [ln for ln in log if ln.startswith("|win|")]
+        if f"|win|{doc.get('p1')}" in winners:
+            winner = 1
+        if f"|win|{doc.get('p2')}" in winners:
+            if winner == 1:
+                raise ParseError("Battle had two winners")
+            winner = 2
+    if doc.get("p1") == doc.get("p2"):
+        raise ParseError("Player battling themself")
+
+    teams = {}
+    idents = {"p1": [], "p2": []}
+    mons = {}
+    for side in ("p1", "p2"):
+        team = canonicalize_team(doc.get(f"{side}team"))
+        teams[side] = team
+        for p in team:
+            idents[side].append(p["name"] or p["species"])
+        mons[side] = [{"species": p["species"], "turnsOut": 0, "kos": 0} for p in team]
+
+    battle = {
+        "winner": winner, "turns": int(doc["turns"]),
+        "end_type": doc.get("endType") or "",
+        "teams": teams, "mons": mons, "matchups": [],
+    }
+    if not log or not singles:
+        return battle
+
+    m1, m2 = mons["p1"], mons["p2"]
+    active = {"p1": None, "p2": None}
+
+    def empty_flags():
+        return {"roar": False, "uturn": False, "fodder": False, "hazard": False,
+                "uturnko": False, "ko1": False, "ko2": False,
+                "sw1": False, "sw2": False}
+
+    flags = empty_flags()
+    turn_matchups: list[list] = []
+    matchups = battle["matchups"]
+
+    for raw_line in log:
+        if len(raw_line) < 2 or not raw_line.startswith("|"):
+            continue
+        line = [s.strip() for s in raw_line.split("|")]
+        cmd = line[1]
+        if cmd == "turn":
+            matchups.extend(turn_matchups)
+            flags = empty_flags()
+            turn_matchups = []
+            m1[active["p1"]]["turnsOut"] += 1
+            m2[active["p2"]]["turnsOut"] += 1
+        elif cmd in ("win", "tie"):
+            if flags["ko1"] or flags["ko2"]:
+                poke1, poke2 = m1[active["p1"]], m2[active["p2"]]
+                matchup = [poke1["species"], poke2["species"], UNKNOWN]
+                if flags["ko1"] and flags["ko2"]:
+                    poke1["kos"] += 1
+                    poke2["kos"] += 1
+                    matchup[2] = DOUBLE_DOWN
+                else:
+                    (poke1 if flags["ko1"] else poke2)["kos"] += 1
+                    if flags["uturnko"]:
+                        turn_matchups.pop()
+                        matchup[2] = P1_UTURN_KOED if flags["ko1"] else P2_UTURN_KOED
+                    else:
+                        matchup[2] = P1_KOED if flags["ko1"] else P2_KOED
+                turn_matchups.append(matchup)
+            matchups.extend(turn_matchups)
+        elif cmd == "move":
+            if len(line) < 4:
+                raise ParseError(f"Could not parse line: '{raw_line}'")
+            flags["hazard"] = False
+            move = line[3]
+            if move in _ROAR:
+                flags["roar"] = True
+            elif move in _UTURN:
+                flags["uturn"] = True
+        elif cmd == "-enditem":
+            if "Red Card" in raw_line:
+                flags["roar"] = True
+            elif "Eject Button" in raw_line:
+                flags["uturn"] = True
+        elif cmd == "faint":
+            side = "p1" if line[2].startswith("p1") else "p2"
+            k = "ko1" if side == "p1" else "ko2"
+            if flags["sw1" if side == "p1" else "sw2"]:
+                flags["fodder"] = True
+            flags[k] = True
+            if flags["uturn"]:
+                flags["uturn"] = False
+                flags["uturnko"] = True
+        elif cmd in ("replace", "switch", "drag"):
+            if len(line) < 4:
+                raise ParseError(f"Could not parse line: '{raw_line}'")
+            name = line[3].split(",")[0]
+            side = "p1" if line[2].startswith("p1") else "p2"
+            if cmd == "replace":
+                active[side] = _identify(name, side, mons[side], idents)
+                continue
+            if active["p1"] is not None and active["p2"] is not None:
+                flags["sw1" if side == "p1" else "sw2"] = True
+                if flags["sw1"] and flags["sw2"] and not flags["fodder"]:
+                    # review the previous matchup (parser.ts:215-237)
+                    matchup = turn_matchups[-1]
+                    p = "p1" if flags["ko1"] else "p2"
+                    if not flags["ko1"] and not flags["ko2"]:
+                        matchup[2] = DOUBLE_SWITCH
+                    elif flags["ko1"] and flags["ko2"]:
+                        m1[active["p1"]]["kos"] += 1
+                        m2[active["p2"]]["kos"] += 1
+                        matchup[2] = DOUBLE_DOWN
+                    else:
+                        (m1 if p == "p1" else m2)[active[p]]["kos"] += 1
+                        matchup[2] = P1_UTURN_KOED if flags["ko1"] else P2_UTURN_KOED
+                else:
+                    poke1, poke2 = m1[active["p1"]], m2[active["p2"]]
+                    matchup = [poke1["species"], poke2["species"], UNKNOWN]
+                    if flags["ko1"] or flags["ko2"]:
+                        if flags["fodder"] and flags["hazard"]:
+                            matchup[2] = P1_FODDERED if flags["ko1"] else P2_FODDERED
+                        else:
+                            (poke1 if flags["ko1"] else poke2)["kos"] += 1
+                            matchup[2] = P1_KOED if flags["ko1"] else P2_KOED
+                    else:
+                        if flags["roar"]:
+                            matchup[2] = P1_FORCED_OUT if flags["sw1"] else P2_FORCED_OUT
+                        else:
+                            matchup[2] = P1_SWITCHED_OUT if flags["sw1"] else P2_SWITCHED_OUT
+                    turn_matchups.append(matchup)
+                flags["uturn"] = flags["roar"] = flags["fodder"] = False
+                flags["hazard"] = True
+            active[side] = _identify(name, side, mons[side], idents)
+    return battle
+
+
+class ParseBattles:
+    """Actor-pool batch transform: battles (tokens) table -> parsed table.
+
+    Stateful per-actor setup (dex tables are module-level dicts; kept as an
+    actor so state/caches load once per worker, SURVEY.md §2.4 T1/T2).
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        self.dex = dex.SPECIES  # touch tables so import cost is paid at init
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = decode_column(batch["tokens"])
+        sources = batch["source"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+
+        rows = []
+        for doc_id, source, s in zip(doc_ids, sources, docs):
+            fmt = canonicalize_format(source.split("/", 1)[0])
+            singles = not dex.is_non_singles(fmt)
+            non6v6 = dex.is_non_6v6(fmt)
+            try:
+                doc = json.loads(s)
+                b = parse_battle(doc, fmt, singles)
+            except (ParseError, ValueError, KeyError, IndexError, TypeError) as e:
+                if self.strict:
+                    raise ParseError(f"{doc_id}: {e}") from e
+                continue
+            rows.append((doc_id, source, fmt, singles, non6v6, doc, b))
+
+        return self._assemble(rows)
+
+    def _assemble(self, rows) -> pa.Table:
+        n = len(rows)
+        cols: dict[str, list] = {name: [] for name, _ in PARSED_SCALARS}
+        p1_tags, p2_tags, slots_col, matchups_col = [], [], [], []
+
+        # numpy staging for vectorized weight math
+        has_r = np.zeros((n, 2), dtype=bool)
+        rpr = np.zeros((n, 2)); rprd = np.zeros((n, 2))
+        outc = np.zeros((n, 2), dtype=np.int8)
+        cutoffs = np.zeros((n, 4))
+
+        for i, (doc_id, source, fmt, singles, non6v6, doc, b) in enumerate(rows):
+            turns = b["turns"]
+            short = (not non6v6) and (turns < 2 or (turns < 3 and singles))
+            cols["doc_id"].append(doc_id)
+            cols["source"].append(source)
+            cols["format"].append(fmt)
+            cols["singles"].append(singles)
+            cols["non6v6"].append(non6v6)
+            cols["short"].append(short)
+            cols["p1"].append(to_id(doc.get("p1") or ""))
+            cols["p2"].append(to_id(doc.get("p2") or ""))
+            cols["winner"].append(b["winner"])
+            cols["turns"].append(turns)
+            cols["end_type"].append(b["end_type"])
+            cuts = dex.cutoffs_for(fmt)
+            cutoffs[i] = cuts
+            for k in range(4):
+                cols[f"cutoff{k}"].append(cuts[k])
+
+            for j, side in enumerate(("p1", "p2")):
+                rating = doc.get(f"{side}rating")
+                has = rating is not None
+                has_r[i, j] = has
+                rpr[i, j] = (rating or {}).get("rpr") or 0.0
+                rprd[i, j] = (rating or {}).get("rprd") or 0.0
+                w = b["winner"]
+                outc[i, j] = 0 if w == 0 else (1 if w == j + 1 else 2)
+                cols[f"{side}_has_rating"].append(has)
+                cols[f"{side}_rpr"].append(rpr[i, j] if has else None)
+                cols[f"{side}_rprd"].append(rprd[i, j] if has else None)
+
+            # leads (stats.ts:516-540)
+            lead1 = lead2 = "empty"
+            if singles:
+                if b["matchups"]:
+                    lead1, lead2 = b["matchups"][0][0], b["matchups"][0][1]
+                else:
+                    for m in b["mons"]["p1"]:
+                        if m["turnsOut"] > 0:
+                            lead1 = m["species"]
+                            break
+                    for m in b["mons"]["p2"]:
+                        if m["turnsOut"] > 0:
+                            lead2 = m["species"]
+                            break
+            cols["lead1"].append(lead1)
+            cols["lead2"].append(lead2)
+
+            slots = []
+            for j, side in enumerate(("p1", "p2")):
+                team = b["teams"][side]
+                bias, stalliness, tags = classify_team(team)
+                cols[f"{side}_bias"].append(bias)
+                cols[f"{side}_stalliness"].append(stalliness)
+                (p1_tags if j == 0 else p2_tags).append(tags)
+                player = to_id(doc.get(side) or "")
+                for k, (mon, st) in enumerate(zip(team, b["mons"][side])):
+                    spread, statsk = spread_and_stats(
+                        mon["species"], mon["nature"], mon["ivs"], mon["evs"],
+                        mon["level"])
+                    slots.append({
+                        "side": j + 1, "slot": k, "player": player,
+                        "species": mon["species"], "item": mon["item"],
+                        "ability": mon["ability"], "nature": mon["nature"],
+                        "happiness": mon["happiness"], "level": mon["level"],
+                        "tera": mon["tera"],
+                        "move1": mon["moves"][0], "move2": mon["moves"][1],
+                        "move3": mon["moves"][2], "move4": mon["moves"][3],
+                        "spread": spread, "stats": statsk,
+                        "turns_out": st["turnsOut"], "kos": st["kos"],
+                    })
+            slots_col.append(slots)
+            matchups_col.append([
+                {"idx": k, "s1": m[0], "s2": m[1], "outcome": m[2]}
+                for k, m in enumerate(b["matchups"])
+            ])
+
+        # vectorized weights + gxe (Cody erf; stats.ts:245-270, util.ts:410-419)
+        for j, side in enumerate(("p1", "p2")):
+            r_eff, d_eff, valid = effective_rating(
+                has_r[:, j], rpr[:, j], rprd[:, j], outc[:, j])
+            cols[f"{side}_valid"] = valid.tolist()
+            g = gxe(rpr[:, j], rprd[:, j])
+            cols[f"{side}_gxe"] = [
+                float(g[i]) if has_r[i, j] else None for i in range(n)]
+            for k in range(4):
+                w = weighting(r_eff, d_eff, cutoffs[:, k])
+                # rd>100 & cutoff>1500 zeroing needs the *per-row* cutoff
+                w = np.where((d_eff > 100.0) & (cutoffs[:, k] > 1500), 0.0, w)
+                cols[f"{side}_w{k}"] = w.tolist()
+
+        arrays = {name: pa.array(cols[name], type=typ) for name, typ in PARSED_SCALARS}
+        arrays["p1_tags"] = pa.array(p1_tags, type=pa.list_(pa.string()))
+        arrays["p2_tags"] = pa.array(p2_tags, type=pa.list_(pa.string()))
+        arrays["slots"] = pa.array(slots_col, type=pa.list_(SLOT_T))
+        arrays["matchups"] = pa.array(matchups_col, type=pa.list_(MATCHUP_T))
+        return pa.table(arrays, schema=PARSED_SCHEMA)

@@ -1,0 +1,67 @@
+"""End-to-end Ray Data pipeline tests against the DuckDB oracle on a small
+throwaway corpus (the same comparison the evaluation driver runs at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _norm(df):
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        else:
+            out[c] = s.astype(str)
+    df = pd.DataFrame(out)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def parsed(small_corpus):
+    from stats_ray.pipelines import usage as pl
+    return pl.parse_pipeline(small_corpus).materialize()
+
+
+def test_parse_counts(small_corpus, parsed):
+    import ray.data
+    total = ray.data.read_parquet(f"{small_corpus}/battles").count()
+    kept = parsed.count()
+    assert 0 < kept < total  # skip formats filtered out
+
+
+@pytest.mark.parametrize("name", [
+    "battle_usage", "battle_leads", "battle_battles", "battle_encounters",
+    "battle_teammates", "battle_metagame", "battle_unique_players",
+    "battle_movesets",
+])
+def test_aggregates_vs_oracle(small_corpus, parsed, name, monkeypatch):
+    import __ray_entry__ as E
+    # point the cached-parse helper at the test corpus
+    monkeypatch.setitem(E._PARSED_CACHE, small_corpus, parsed)
+    monkeypatch.setattr(E, "_corpus", lambda sf_dir: small_corpus)
+    mine = _norm(E.queries()[name](small_corpus))
+    sql = E.oracle_sql_for(small_corpus)[name]
+    oracle = _norm(duckdb.sql(sql).df())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_routed_sink_roundtrip(small_corpus, parsed, tmp_path):
+    import ray.data
+    from stats_ray.pipelines import usage as pl
+    out = str(tmp_path / "parsed")
+    pl.route_parsed(parsed, out)
+    back = ray.data.read_parquet(out)
+    assert back.count() == parsed.count()
+    names = [f.name for f in back.schema().base_schema]
+    assert "format" in names  # hive partition column restored
