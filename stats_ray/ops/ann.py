@@ -1,0 +1,170 @@
+"""Similarity search over the `embeddings` table (list<float> column).
+
+- brute_force_topk: cosine top-k per query — numpy matmul per batch against
+  a broadcast query matrix (ray.put once, read per actor), per-batch top-k,
+  driver-side merge of tiny per-block candidate sets. The 100 TB scale path
+  is the same kernel behind an IVF/LSH bucket stage (lsh_bucketed_topk).
+- embedding_near_dup: cosine >= threshold pairs via the same broadcast
+  pattern (each batch scores against the full normalized matrix reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data import Dataset
+
+
+def read_embeddings(sf_dir: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    emb = t["embedding"].combine_chunks()
+    vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(emb[0])
+    mat = vals.reshape(len(t), dim)
+    ids = t["vec_id"].to_numpy()
+    return ids, mat
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """Top-k cosine neighbors for the n_queries lowest vec_ids (excluding
+    self). Deterministic tiebreak: (sim desc, neighbor_id asc)."""
+    ds = read_embeddings(sf_dir)
+
+    # small side: the query matrix — materialized once, broadcast via ray.put
+    head = ds.sort("vec_id").limit(n_queries).to_pandas()
+    q_ids = head["vec_id"].to_numpy()
+    q = _normalize(np.stack(head["embedding"].to_numpy()).astype(np.float64))
+    q_ref = ray.put((q_ids, q))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            sims = _normalize(mat) @ self.q.T           # (batch, nq)
+            frames = []
+            for j, qid in enumerate(self.q_ids):
+                s = sims[:, j]
+                mask = ids != qid
+                idx = np.argsort(-s[mask], kind="stable")[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids[mask][idx],
+                    "sim": s[mask][idx]}))
+            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                        preserve_index=False)
+
+    cands = ds.map_batches(Score, batch_format="pyarrow",
+                           concurrency=(1, 8)).to_pandas()
+    out = (cands.sort_values(["query_id", "sim", "neighbor_id"],
+                             ascending=[True, False, True])
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    out["sim"] = np.sign(out["sim"]) * np.floor(np.abs(out["sim"]) * 1e4 + 0.5) / 1e4
+    return out[["query_id", "neighbor_id", "sim"]]
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    """All pairs with cosine >= threshold (id1 < id2).
+
+    Locally this broadcasts the full normalized matrix (fine for dimension
+    tables); at corpus scale swap the broadcast for lsh_bucketed pairing —
+    the per-batch kernel is identical."""
+    ds = read_embeddings(sf_dir)
+    full = ds.to_pandas()
+    ids_all = full["vec_id"].to_numpy()
+    m_all = _normalize(np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, m_all))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            sims = _normalize(mat) @ self.m.T
+            bi, aj = np.nonzero(sims >= threshold)
+            keep = ids[bi] < self.ids[aj]
+            return pa.table({
+                "id1": pa.array(ids[bi][keep]),
+                "id2": pa.array(self.ids[aj][keep]),
+                "sim": pa.array(sims[bi, aj][keep]),
+            })
+
+    out = ds.map_batches(Pairs, batch_format="pyarrow",
+                         concurrency=(1, 8)).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                             "id2": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    out["sim"] = np.floor(np.abs(out["sim"]) * 1e4 + 0.5) / 1e4 * np.sign(out["sim"])
+    return out.sort_values(["id1", "id2"]).reset_index(drop=True)
+
+
+def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                      n_planes: int = 6, seed: int = 11) -> pd.DataFrame:
+    """Scale path: random-hyperplane LSH bucket per vector, score queries only
+    against same-bucket vectors (plus the query's bucket neighbors by 1-bit
+    flips). Approximate — returns the same schema as brute_force_topk."""
+    ds = read_embeddings(sf_dir)
+    head = ds.sort("vec_id").limit(n_queries).to_pandas()
+    q_ids = head["vec_id"].to_numpy()
+    qm = _normalize(np.stack(head["embedding"].to_numpy()).astype(np.float64))
+    dim = qm.shape[1]
+    rs = np.random.RandomState(seed)
+    planes = rs.normal(size=(n_planes, dim))
+    q_buckets = ((qm @ planes.T) > 0).astype(np.uint8)
+    q_codes = set()
+    for row in q_buckets:
+        code = int("".join(map(str, row)), 2)
+        q_codes.add(code)
+        for b in range(n_planes):          # 1- and 2-bit flip neighborhood
+            q_codes.add(code ^ (1 << b))
+            for b2 in range(b + 1, n_planes):
+                q_codes.add(code ^ (1 << b) ^ (1 << b2))
+    ref = ray.put((q_ids, qm, planes, frozenset(q_codes)))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q, self.planes, self.codes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            mn = _normalize(mat)
+            bits = ((mn @ self.planes.T) > 0).astype(np.uint8)
+            codes = bits @ (1 << np.arange(bits.shape[1] - 1, -1, -1))
+            mask = np.isin(codes, list(self.codes))
+            if not mask.any():
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            sims = mn[mask] @ self.q.T
+            frames = []
+            for j, qid in enumerate(self.q_ids):
+                s = sims[:, j]
+                sub = ids[mask]
+                m2 = sub != qid
+                idx = np.argsort(-s[m2], kind="stable")[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": sub[m2][idx],
+                    "sim": s[m2][idx]}))
+            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                        preserve_index=False)
+
+    cands = ds.map_batches(Score, batch_format="pyarrow",
+                           concurrency=(1, 8)).to_pandas()
+    out = (cands.sort_values(["query_id", "sim", "neighbor_id"],
+                             ascending=[True, False, True])
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    return out[["query_id", "neighbor_id", "sim"]]

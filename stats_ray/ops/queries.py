@@ -1,11 +1,255 @@
 """Generic relational + training-data operator queries over the driver's
 sf tables (lineitem/orders/customer/events/documents/embeddings).
 
-QUERIES maps name -> callable(sf_dir) -> DataFrame/Table.
-ORACLES maps name -> DuckDB SQL (omit for non-SQL-expressible ops).
+QUERIES maps name -> callable(sf_dir) -> DataFrame/Dataset.
+ORACLES maps name -> DuckDB SQL against the pre-registered table views
+(omitted for non-SQL-expressible ops -> driver records rows-only checks).
+
+Float aggregate columns are rounded half-away-from-zero to 4 decimals on
+BOTH sides so FP sum-order differences between Ray's shuffle and DuckDB
+can't flip the value hash.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+import numpy as np
+import pandas as pd
+
+
+def _r4(df: pd.DataFrame, cols, p: int = 4) -> pd.DataFrame:
+    for c in cols:
+        a = df[c].to_numpy(dtype=np.float64)
+        f = 10.0 ** p
+        df[c] = np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+    return df
+
+
+def _pd(ds):
+    return ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+
+
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(sf_dir: str):
+    from .relational import tpch_q1
+    df = _pd(tpch_q1(sf_dir))
+    return _r4(df, ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"])
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _q_top_orders(sf_dir: str):
+    from .relational import top_orders
+    return _pd(top_orders(sf_dir))
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q_orders_by_nation(sf_dir: str):
+    from .relational import orders_by_nation
+    df = _pd(orders_by_nation(sf_dir))
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return _r4(df, ["total_price"])
+
+
+_SQL_ORDERS_BY_NATION = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 4) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def _q_events_daily(sf_dir: str):
+    from .relational import events_daily
+    df = _pd(events_daily(sf_dir))
+    df["n"] = df["n"].astype("int64")
+    return _r4(df, ["sum_value"])
+
+
+_SQL_EVENTS_DAILY = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_events_users(sf_dir: str):
+    from .relational import events_user_stats
+    df = _pd(events_user_stats(sf_dir))
+    df["n_users"] = df["n_users"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
+
+
+_SQL_EVENTS_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def _q_dedup_exact(sf_dir: str):
+    from .dedup import exact_dedup
+    df = _pd(exact_dedup(sf_dir))
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def _q_token_stats(sf_dir: str):
+    from .text import token_stats
+    df = _pd(token_stats(sf_dir))
+    return _r4(df, ["mean_word_len"], 6)
+
+
+_SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+            x -> x IN ('the','a','an','and','of','to','in','is','it'))) AS BIGINT)
+         AS n_stopwords,
+       ROUND(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+             THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                  / len(regexp_extract_all(text, '\S+'))
+             ELSE 0 END, 6) AS mean_word_len
+FROM documents
+"""
+
+
+def _q_quality(sf_dir: str):
+    from .text import quality_scores
+    return _pd(quality_scores(sf_dir))
+
+
+_SQL_QUALITY = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+SELECT doc_id,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS ttr,
+       ROUND(CAST(len(list_filter(toks,
+             x -> x IN ('the','a','an','and','of','to','in','is','it'))) AS DOUBLE)
+           / GREATEST(len(toks), 1), 6) AS stop_ratio,
+       CAST(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS BIGINT)
+         AS ok_length
+FROM t
+"""
+
+
+def _q_ann_topk(sf_dir: str):
+    from .ann import brute_force_topk
+    return brute_force_topk(sf_dir)
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 5),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 10
+"""
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from .ann import embedding_near_dup
+    return embedding_near_dup(sf_dir)
+
+
+_SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+def _q_fingerprints(sf_dir: str):
+    from .text import fingerprints
+    df = _pd(fingerprints(sf_dir))
+    # winnow_min is rows-only (rolling hash); md5 is the oracle-checked part
+    return df[["doc_id", "md5"]]
+
+
+_SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
+# --- rows-only (non-SQL-expressible) -----------------------------------------
+
+def _q_minhash(sf_dir: str):
+    from .dedup import minhash_dup_pairs
+    return minhash_dup_pairs(sf_dir, threshold=0.3)
+
+
+def _q_simhash(sf_dir: str):
+    from .dedup import simhash_dup_pairs
+    return simhash_dup_pairs(sf_dir, max_hamming=12)
+
+
+def _q_lang_id(sf_dir: str):
+    from .text import lang_id
+    return _pd(lang_id(sf_dir))
+
+
+def _q_lsh_topk(sf_dir: str):
+    from .ann import lsh_bucketed_topk
+    df = lsh_bucketed_topk(sf_dir)
+    df["sim"] = df["sim"].round(4)
+    return df
+
+
+QUERIES = {
+    "tpch_q1": _q_tpch_q1,
+    "top_orders": _q_top_orders,
+    "orders_by_nation": _q_orders_by_nation,
+    "events_daily": _q_events_daily,
+    "events_user_stats": _q_events_users,
+    "dedup_exact": _q_dedup_exact,
+    "doc_token_stats": _q_token_stats,
+    "doc_quality": _q_quality,
+    "doc_fingerprints": _q_fingerprints,
+    "ann_cosine_topk": _q_ann_topk,
+    "embedding_near_dup": _q_embedding_near_dup,
+    "minhash_dup_pairs": _q_minhash,
+    "simhash_dup_pairs": _q_simhash,
+    "doc_lang_id": _q_lang_id,
+    "ann_lsh_topk": _q_lsh_topk,
+}
+
+ORACLES = {
+    "tpch_q1": _SQL_TPCH_Q1,
+    "top_orders": _SQL_TOP_ORDERS,
+    "orders_by_nation": _SQL_ORDERS_BY_NATION,
+    "events_daily": _SQL_EVENTS_DAILY,
+    "events_user_stats": _SQL_EVENTS_USERS,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "doc_token_stats": _SQL_TOKEN_STATS,
+    "doc_quality": _SQL_QUALITY,
+    "doc_fingerprints": _SQL_FINGERPRINTS,
+    "ann_cosine_topk": _SQL_ANN_TOPK,
+    "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+    # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
+    # rows-only (sketch/heuristic operators)
+}

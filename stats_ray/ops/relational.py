@@ -1,0 +1,128 @@
+"""Generic relational operators over the driver-provided TPC-H-ish tables —
+the engine's groupby/sort/limit/broadcast-join building blocks exercised
+standalone (SURVEY.md §2.6-2.7 analogues on neutral data)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def tpch_q1(sf_dir: str) -> Dataset:
+    """Pricing summary: grouped sums over computed revenue columns, with the
+    partial-aggregate-then-shuffle shape (combiner inside map_batches)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
+            "sum_qty": t["l_quantity"].to_numpy(),
+            "sum_base_price": t["l_extendedprice"].to_numpy(),
+            "sum_disc_price": disc_price.to_numpy(),
+            "sum_charge": charge.to_numpy(),
+            "count_order": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                       sort=False).sum(), preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_base_price", alias_name="sum_base_price"),
+                       Sum("sum_disc_price", alias_name="sum_disc_price"),
+                       Sum("sum_charge", alias_name="sum_charge"),
+                       Sum("count_order", alias_name="count_order")))
+
+
+def top_orders(sf_dir: str, n: int = 10) -> Dataset:
+    """sort desc + deterministic tiebreak + limit (O6 analogue)."""
+    return (_t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(n))
+
+
+def orders_by_nation(sf_dir: str) -> Dataset:
+    """Broadcast small-side join: customer+nation dim (ray.put once) looked
+    up inside map_batches over orders — no shuffle join (J1 analogue)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup = dict(zip(dim["c_custkey"].astype(np.int64), dim["n_name"]))
+    ref = ray.put(lookup)
+
+    class Enrich:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["n_name"] = df["o_custkey"].map(self.lookup)
+            out = (df.groupby("n_name", as_index=False)
+                   .agg(n_orders=("o_orderkey", "size"),
+                        total_price=("o_totalprice", "sum")))
+            return out
+
+    return (_t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+            .map_batches(Enrich, batch_format="pandas", concurrency=(1, 4))
+            .groupby("n_name")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_price", alias_name="total_price")))
+
+
+def events_daily(sf_dir: str) -> Dataset:
+    """Event-log rollup per (event_type, day) — F6/A13-style routing keys."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return (df.groupby(["event_type", "day"], as_index=False)
+                .agg(n=("value", "size"), sum_value=("value", "sum")))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value", alias_name="sum_value")))
+
+
+def events_user_stats(sf_dir: str) -> Dataset:
+    """Exact distinct users per event_type (two-level dedup, A9 shape)."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n_events"))
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "n_users": [len(df)],
+            "n_events": [int(df["n_events"].sum())],
+        })
+
+    return per_user.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+
+def price_percentiles(sf_dir: str) -> pd.DataFrame:
+    """A15 analogue: exact percentile of order totalprice via distributed
+    sort + take (matches SQL quantile_disc lower-index semantics)."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"]).sort("o_totalprice")
+    n = ds.count()
+    vals = ds.to_pandas()["o_totalprice"].to_numpy()
+    rows = []
+    for q in (0.5, 0.9, 0.99):
+        idx = int(np.floor(q * (n - 1) + 0.5))  # nearest-rank, matches duckdb
+        rows.append({"q": q, "value": float(vals[idx])})
+    return pd.DataFrame(rows)

@@ -1,0 +1,169 @@
+"""Text analysis operators over the `documents` table (SURVEY extension set:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All batch fns are vectorized pandas/numpy; stateful pieces (compiled regex,
+stop lists, n-gram profiles) live in actor classes loaded once per worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data import Dataset
+
+_WS = re.compile(r"\S+")
+STOPWORDS = frozenset({"the", "a", "an", "and", "of", "to", "in", "is", "it"})
+
+
+def read_documents(sf_dir: str, columns=None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+class TokenStats:
+    """n_tokens / n_chars / stopword ratio / mean word length per doc.
+
+    SQL-mirrorable definitions: tokens = \\S+ matches; nonspace = chars
+    left after stripping all whitespace."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\S+")
+        self.space = re.compile(r"\s")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(self.ws)
+        n_tok = toks.str.len().astype("int64")
+        nonspace = df["text"].str.replace(self.space, "", regex=True).str.len()
+        stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS))
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": n_tok,
+            "n_chars": df["text"].str.len().astype("int64"),
+            "n_stopwords": pd.Series(stop).astype("int64"),
+            "mean_word_len": np.where(n_tok > 0, nonspace / n_tok.clip(lower=1), 0.0),
+        })
+        return out
+
+
+def token_stats(sf_dir: str) -> Dataset:
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenStats, batch_format="pandas", concurrency=(1, 4))
+
+
+class QualityScore:
+    """Heuristic quality score: length band + stopword presence + lexical
+    diversity (type/token ratio). Deterministic, SQL-mirrorable pieces kept
+    in separate columns so the oracle can verify each term."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\S+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(self.ws)
+        n = toks.str.len().clip(lower=1)
+        uniq = toks.map(lambda ws: len(set(ws)))
+        stop_ratio = toks.map(
+            lambda ws: sum(1 for w in ws if w in STOPWORDS)) / n
+        ttr = uniq / n
+        ok_len = ((n >= 10) & (n <= 1000)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "ttr": ttr.astype(float).round(6),
+            "stop_ratio": stop_ratio.astype(float).round(6),
+            "ok_length": ok_len,
+        })
+
+
+def quality_scores(sf_dir: str) -> Dataset:
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScore, batch_format="pandas", concurrency=(1, 4))
+
+
+class LangId:
+    """Character-trigram cosine language-ID heuristic (no model deps).
+
+    Profiles are built once per actor from tiny seed texts; output is the
+    argmax profile label. Heuristic -> rows-only check (no SQL oracle)."""
+
+    SEEDS = {
+        "en": "the quick brown fox jumps over the lazy dog and then some more "
+              "words of english text for the profile",
+        "es": "el rapido zorro marron salta sobre el perro perezoso y luego "
+              "algunas palabras mas de texto en espanol",
+        "de": "der schnelle braune fuchs springt ueber den faulen hund und "
+              "dann noch einige woerter deutscher text",
+    }
+
+    def __init__(self):
+        self.profiles = {}
+        for lang, seed in self.SEEDS.items():
+            self.profiles[lang] = self._profile(seed)
+
+    @staticmethod
+    def _profile(text: str) -> dict[str, float]:
+        text = f"  {text.lower()}  "
+        grams: dict[str, float] = {}
+        for i in range(len(text) - 2):
+            g = text[i:i + 3]
+            grams[g] = grams.get(g, 0.0) + 1.0
+        norm = sum(v * v for v in grams.values()) ** 0.5
+        return {g: v / norm for g, v in grams.items()}
+
+    def _score(self, text: str) -> str:
+        p = self._profile(text[:1000])
+        best, best_s = "und", 0.0
+        for lang, prof in self.profiles.items():
+            s = sum(v * prof.get(g, 0.0) for g, v in p.items())
+            if s > best_s:
+                best, best_s = lang, s
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "lang_pred": df["text"].map(self._score),
+        })
+
+
+def lang_id(sf_dir: str) -> Dataset:
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+class Fingerprint:
+    """Document fingerprints: md5 content hash (exact, SQL-mirrorable) and a
+    winnowed rolling-hash sketch (min of k-gram Rabin hashes — rows-only)."""
+
+    K = 5
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def _winnow(self, text: str) -> int:
+        data = text.encode()
+        if len(data) < self.K:
+            return 0
+        h = 0
+        power = pow(self.BASE, self.K - 1, self.MOD)
+        best = self.MOD
+        for i, b in enumerate(data):
+            if i >= self.K:
+                h = (h - data[i - self.K] * power) % self.MOD
+            h = (h * self.BASE + b) % self.MOD
+            if i >= self.K - 1:
+                best = min(best, h)
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "md5": df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()),
+            "winnow_min": df["text"].map(self._winnow).astype("uint64"),
+        })
+
+
+def fingerprints(sf_dir: str) -> Dataset:
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprint, batch_format="pandas", concurrency=(1, 4))
