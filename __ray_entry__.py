@@ -289,6 +289,26 @@ def _q_top_teams(sf_dir: str):
     return top.to_pandas()
 
 
+def _q_stalliness(sf_dir: str):
+    """A12 input: stalliness sample mass grouped by (rounded) value."""
+    from stats_ray.stages import aggregate as agg
+    df = agg.stalliness_stats(_parsed(sf_dir)).to_pandas()
+    df["value"] = _half_up(df["value"].to_numpy(), 6)
+    out = (df.groupby(["format", "cutoff", "value"], as_index=False)
+           .agg(count=("count", "sum"), weight=("weight", "sum")))
+    out["count"] = out["count"].astype("int64")
+    return _round_cols(out, ["weight"])
+
+
+def _q_viability(sf_dir: str):
+    """A10: per-species GXE order statistics from the per-player dedup."""
+    from stats_ray.stages import aggregate as agg
+    df = agg.viability_stats(_parsed(sf_dir)).to_pandas()
+    df = df[df["v_n"] > 0].reset_index(drop=True)
+    df["v_n"] = df["v_n"].astype("int64")
+    return df
+
+
 def _q_format_days(sf_dir: str):
     """S7 routed-row counts per (format, day) partition — no parse needed."""
     import pyarrow as pa
@@ -510,6 +530,44 @@ def _sql_top_teams():
         f" ORDER BY rating DESC, format, team_key LIMIT 20")
 
 
+def _sql_stalliness():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()}, "
+        f"nm AS (SELECT doc_id, side, COUNT(*) AS n FROM {_gt('gt_slots')}"
+        f" GROUP BY 1, 2), "
+        f"x AS ("
+        f"SELECT bc.format, bc.cutoff, ROUND(b2.p1_stalliness, 6) AS value,"
+        f" nm.n AS cnt, bc.w1 * nm.n AS w"
+        f" FROM bc JOIN b b2 USING (doc_id)"
+        f" JOIN nm ON nm.doc_id = bc.doc_id AND nm.side = 1 WHERE NOT bc.short"
+        f" UNION ALL "
+        f"SELECT bc.format, bc.cutoff, ROUND(b2.p2_stalliness, 6),"
+        f" nm.n, bc.w2 * nm.n"
+        f" FROM bc JOIN b b2 USING (doc_id)"
+        f" JOIN nm ON nm.doc_id = bc.doc_id AND nm.side = 2 WHERE NOT bc.short) "
+        f"SELECT format, cutoff, value, CAST(SUM(cnt) AS BIGINT) AS count,"
+        f" ROUND(SUM(w), 4) AS weight FROM x GROUP BY 1, 2, 3")
+
+
+def _sql_viability():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()}, "
+        f"rows_ AS (SELECT bc.format, bc.cutoff, s.species, s.player,"
+        f" CASE WHEN s.side=1 THEN bc.p1_gxe ELSE bc.p2_gxe END AS g"
+        f" FROM {_gt('gt_slots')} s JOIN bc USING (doc_id)), "
+        f"per AS (SELECT format, cutoff, species, player, MAX(g) AS g"
+        f" FROM rows_ WHERE g IS NOT NULL GROUP BY 1, 2, 3, 4), "
+        f"ranked AS (SELECT *,"
+        f" row_number() OVER (PARTITION BY format, cutoff, species"
+        f"   ORDER BY g DESC, player) AS rn,"
+        f" COUNT(*) OVER (PARTITION BY format, cutoff, species) AS n FROM per) "
+        f"SELECT format, cutoff, species, CAST(n AS BIGINT) AS v_n,"
+        f" MAX(CASE WHEN rn = 1 THEN g END) AS v_max,"
+        f" MAX(CASE WHEN rn = CAST(CEIL(0.01 * n) AS BIGINT) THEN g END) AS v_p99,"
+        f" MAX(CASE WHEN rn = CAST(CEIL(0.2 * n) AS BIGINT) THEN g END) AS v_p80"
+        f" FROM ranked GROUP BY 1, 2, 3, n")
+
+
 def _sql_format_days():
     return (f"SELECT format, CAST(day AS INTEGER) AS day, COUNT(*) AS n"
             f" FROM {_gt('gt_battles')} GROUP BY 1, 2")
@@ -542,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "battle_player_wins": _q_player_wins,
         "battle_top_teams": _q_top_teams,
         "battle_format_days": _q_format_days,
+        "battle_stalliness": _q_stalliness,
+        "battle_viability": _q_viability,
     }
     from stats_ray.ops import queries as generic
     q.update(generic.QUERIES)
@@ -573,6 +633,8 @@ def oracle_sql() -> dict[str, str]:
         "battle_player_wins": _sql_player_wins(),
         "battle_top_teams": _sql_top_teams(),
         "battle_format_days": _sql_format_days(),
+        "battle_stalliness": _sql_stalliness(),
+        "battle_viability": _sql_viability(),
     }
     from stats_ray.ops import queries as generic
     sql.update(generic.ORACLES)

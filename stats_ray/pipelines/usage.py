@@ -75,7 +75,55 @@ AGG_FAMILIES = {
     "teammates": agg.teammate_stats,
     "metagame": agg.metagame_stats,
     "unique": agg.unique_player_rollup,
+    "viability": agg.viability_stats,
+    "stalliness": agg.stalliness_stats,
 }
+
+# families feeding the report renderers (stages.reports.collect_view)
+REPORT_FAMILIES = ["usage", "movesets", "leads", "battles", "encounters",
+                   "teammates", "metagame", "viability", "stalliness"]
+
+
+def render_reports(parsed: Dataset, out_dir: str, *, formats=None) -> dict:
+    """S7 report fan-out: compute the report-feeding aggregates once, then
+    render the 5 legacy reports + display JSON per (format, cutoff) into
+    out_dir/{usage,leads,moveset,chaos,metagame,display}/.
+
+    Returns {(format, cutoff): paths}. Aggregates stream through Ray; the
+    per-(format, cutoff) render is driver-side small work."""
+    import os
+
+    from ..stages import reports as R
+
+    aggs = {name: AGG_FAMILIES[name](parsed).to_pandas()
+            for name in REPORT_FAMILIES}
+    pairs = (aggs["battles"][["format", "cutoff"]]
+             .drop_duplicates().itertuples(index=False))
+    written = {}
+    for fmt, cutoff in pairs:
+        if formats and fmt not in formats:
+            continue
+        view = R.collect_view(aggs, fmt, int(cutoff))
+        movesets = R.to_moveset_statistics(view, fmt)
+        outputs = {
+            "usage": R.usage_report(view),
+            "leads": R.leads_report(view),
+            "moveset": R.moveset_report(view, movesets),
+            "chaos": R.detailed_moveset_report(view, movesets=movesets),
+            "metagame": R.metagame_report(view),
+            "display": R.display_statistics(view),
+        }
+        paths = {}
+        for kind, text in outputs.items():
+            ext = "json" if kind in ("chaos", "display") else "txt"
+            d = os.path.join(out_dir, kind)
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{fmt}-{int(cutoff)}.{ext}")
+            with open(path, "w") as f:
+                f.write(text)
+            paths[kind] = path
+        written[(fmt, int(cutoff))] = paths
+    return written
 
 
 def run_flagship(corpus_dir: str, out_dir: str, *, families=None,

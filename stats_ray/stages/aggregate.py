@@ -364,6 +364,74 @@ def _explode_unique(t: pa.Table) -> pa.Table:
     return _pt(out)
 
 
+def viability_stats(parsed: Dataset) -> Dataset:
+    """A10: GXE order statistics [n, max, p99, p80] per species from the
+    per-player max-GXE dedup (util.ts:311-321). Group sizes are bounded by
+    distinct players, so the per-group sort is safe."""
+    part = parsed.map_batches(_explode_unique, batch_format="pyarrow")
+    per_player = part.groupby(["format", "cutoff", "species", "player"]).aggregate(
+        Max("g", alias_name="g"))
+
+    def _viab(df: pd.DataFrame) -> pd.DataFrame:
+        gxes = np.sort(df["g"].to_numpy()[df["g"].to_numpy() >= 0])[::-1]
+        n = len(gxes)
+        if n == 0:
+            vals = [0, 0.0, 0.0, 0.0]
+        else:
+            vals = [n, float(gxes[0]),
+                    float(gxes[int(np.ceil(0.01 * n)) - 1]),
+                    float(gxes[int(np.ceil(0.2 * n)) - 1])]
+        return pd.DataFrame({
+            "format": [df["format"].iloc[0]], "cutoff": [df["cutoff"].iloc[0]],
+            "species": [df["species"].iloc[0]],
+            "v_n": [int(vals[0])], "v_max": [vals[1]],
+            "v_p99": [vals[2]], "v_p80": [vals[3]],
+        })
+
+    return per_player.groupby(["format", "cutoff", "species"]).map_groups(
+        _viab, batch_format="pandas")
+
+
+def stalliness_stats(parsed: Dataset) -> Dataset:
+    """A12 input: stalliness sample mass grouped by exact value.
+
+    The reference collects every (value, weight) pair (one per *mon* of each
+    non-short battle-player, stats.ts:290-295); distinct values are bounded
+    by team-composition combinatorics, so grouping by exact value keeps the
+    histogram reconstruction exact while staying aggregate-sized at scale."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        fmt = _col(t, "format")
+        short = _col(t, "short")
+        slots = t["slots"].combine_chunks()
+        parent_s = pc.list_parent_indices(slots).to_numpy()
+        sside = slots.flatten().field("side").to_numpy()
+        nm = {}
+        for s in (1, 2):
+            cnt = np.zeros(len(t), dtype=np.int64)
+            np.add.at(cnt, parent_s[sside == s], 1)
+            nm[s] = cnt
+        frames = []
+        ns = ~short
+        for j, side in enumerate(("p1", "p2")):
+            val = _col(t, f"{side}_stalliness")
+            mult = nm[j + 1]
+            for k in _CUTS:
+                w = _col(t, f"{side}_w{k}")
+                frames.append(pd.DataFrame({
+                    "format": fmt[ns], "cutoff": _col(t, f"cutoff{k}")[ns].astype(np.int32),
+                    "value": val[ns], "count": mult[ns],
+                    "weight": (w * mult)[ns]}))
+        df = pd.concat(frames, ignore_index=True)
+        out = df.groupby(["format", "cutoff", "value"], as_index=False,
+                         sort=False).sum()
+        return _pt(out)
+
+    part = parsed.map_batches(_explode, batch_format="pyarrow")
+    return part.groupby(["format", "cutoff", "value"]).aggregate(
+        Sum("count", alias_name="count"), Sum("weight", alias_name="weight"))
+
+
 def unique_player_rollup(parsed: Dataset) -> Dataset:
     """Two-level exact dedup (A9): hash-shuffled max per (.., player), then a
     per-species count/sum. The per-player state never lives in one worker's

@@ -1,0 +1,625 @@
+"""Report rendering: the reference's 5 legacy reports + unified display JSON.
+
+Replicates `stats/src/reports.ts:98-412` and `display.ts:94-200` formatting
+(layout, sort orders, truncation rules O1-O4, viability A10, checks-and-
+counters A11, stalliness histogram A12) over OUR dex and the aggregate
+tables produced by stats_ray.stages.aggregate. Rendering is driver-side
+small work: each (format, cutoff) view is a few thousand rows.
+
+Also implements the inverse report parsers (S10, display.ts:387-535
+analogues) used for roundtrip tests.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..dex import ABILITIES, ITEMS, MOVES, SPECIES
+
+MIN = (20, 0.5)  # reports.ts:66
+
+# outcome indices
+_KOED, _SWITCHED = 0, 3
+
+
+def js_round(v: float, p: float = 1e10) -> float:
+    """JS Math.round(v*p)/p (half toward +inf)."""
+    return math.floor(v * p + 0.5) / p
+
+
+def round_str(v: float, p: float = 1e10) -> str:
+    num = js_round(v, p)
+    return f"{num:.1f}" if num == math.floor(num) else repr(num)
+
+
+def display_species(sid: str) -> str:
+    return SPECIES[sid]["name"] if sid in SPECIES else sid
+
+
+def display_ability(aid: str) -> str:
+    return ABILITIES.get(aid, aid)
+
+
+def display_item(iid: str) -> str:
+    return "Nothing" if iid == "nothing" else ITEMS.get(iid, iid)
+
+
+def display_move(mid: str) -> str:
+    return "Nothing" if mid == "" else MOVES.get(mid, mid)
+
+
+def display_tera(t: str) -> str:
+    return t[0].upper() + t[1:] if t else t
+
+
+def to_display_object(m: dict[str, float], display=None, p: float = 1e10):
+    d = display or (lambda k: str(k))
+    items = sorted(m.items(), key=lambda kv: (-kv[1], d(kv[0])))
+    return {k: js_round(v, p) for k, v in items}
+
+
+# ---------------------------------------------------------------------------
+# per-(format, cutoff) statistics view assembled from aggregate tables
+
+@dataclass
+class SpeciesView:
+    usage_raw: int = 0
+    usage_real: int = 0
+    usage_weighted: float = 0.0
+    win_raw: int = 0
+    win_real: int = 0
+    win_weighted: float = 0.0
+    raw_count: int = 0
+    raw_weight: float = 0.0
+    saved_count: int = 0
+    saved_weight: float = 0.0
+    lead_raw: int = 0
+    lead_real: int = 0
+    lead_weighted: float = 0.0
+    abilities: dict = field(default_factory=dict)
+    items: dict = field(default_factory=dict)
+    teras: dict = field(default_factory=dict)
+    spreads: dict = field(default_factory=dict)
+    statsmap: dict = field(default_factory=dict)
+    moves: dict = field(default_factory=dict)
+    happiness: dict = field(default_factory=dict)
+    teammates: dict = field(default_factory=dict)
+    encounters: dict = field(default_factory=dict)  # opp -> [13] floats
+    viability: tuple = (0, 0.0, 0.0, 0.0)
+
+
+@dataclass
+class FormatView:
+    fmt: str
+    cutoff: int
+    battles: int = 0
+    usage_raw: int = 0
+    usage_real: int = 0
+    usage_weighted: float = 0.0
+    lead_raw: int = 0
+    lead_real: int = 0
+    lead_weighted: float = 0.0
+    tags: dict = field(default_factory=dict)
+    stalliness: pd.DataFrame | None = None  # value/count/weight rows
+    pokemon: dict[str, SpeciesView] = field(default_factory=dict)
+
+    def poke(self, sid: str) -> SpeciesView:
+        if sid not in self.pokemon:
+            self.pokemon[sid] = SpeciesView()
+        return self.pokemon[sid]
+
+
+_KIND_FIELD = {"ability": "abilities", "item": "items", "tera": "teras",
+               "spread": "spreads", "stats": "statsmap", "move": "moves",
+               "happiness": "happiness"}
+
+
+def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int) -> FormatView:
+    """Assemble the reference's `Statistics` shape for one (format, cutoff)
+    from the long-form aggregate tables."""
+    v = FormatView(fmt, cutoff)
+
+    def sel(name):
+        df = aggs.get(name)
+        if df is None or df.empty:
+            return pd.DataFrame()
+        return df[(df["format"] == fmt) & (df["cutoff"] == cutoff)]
+
+    b = sel("battles")
+    v.battles = int(b["battles"].iloc[0]) if len(b) else 0
+
+    for r in sel("usage").itertuples():
+        p = v.poke(r.species)
+        p.usage_raw, p.usage_real = int(r.usage_raw), int(r.usage_real)
+        p.usage_weighted = float(r.usage_weighted)
+        p.win_raw, p.win_real = int(r.win_raw), int(r.win_real)
+        p.win_weighted = float(r.win_weighted)
+        p.raw_count, p.raw_weight = int(r.raw_count), float(r.raw_weight)
+        p.saved_count, p.saved_weight = int(r.saved_count), float(r.saved_weight)
+        v.usage_raw += p.usage_raw
+        v.usage_real += p.usage_real
+        v.usage_weighted += p.usage_weighted
+
+    for r in sel("movesets").itertuples():
+        getattr(v.poke(r.species), _KIND_FIELD[r.kind])[r.key] = \
+            getattr(v.poke(r.species), _KIND_FIELD[r.kind]).get(r.key, 0.0) \
+            + float(r.weight)
+
+    for r in sel("leads").itertuples():
+        p = v.poke(r.species)
+        p.lead_raw, p.lead_real = int(r.lead_raw), int(r.lead_real)
+        p.lead_weighted = float(r.lead_weighted)
+        v.lead_raw += p.lead_raw
+        v.lead_real += p.lead_real
+        v.lead_weighted += p.lead_weighted
+
+    for r in sel("teammates").itertuples():
+        # stored as unordered pairs; mirror both directions (stats.ts:449-471)
+        v.poke(r.s1).teammates[r.s2] = float(r.weight)
+        v.poke(r.s2).teammates[r.s1] = float(r.weight)
+
+    for r in sel("encounters").itertuples():
+        enc = v.poke(r.species).encounters.setdefault(r.opponent, [0.0] * 13)
+        enc[int(r.outcome)] += float(r.weight)
+
+    for r in sel("metagame").itertuples():
+        v.tags[r.tag] = float(r.weight)
+
+    for r in sel("viability").itertuples():
+        v.poke(r.species).viability = (int(r.v_n), float(r.v_max),
+                                       float(r.v_p99), float(r.v_p80))
+
+    st = sel("stalliness")
+    v.stalliness = st[["value", "count", "weight"]] if len(st) else None
+    return v
+
+
+# ---------------------------------------------------------------------------
+# checks & counters (util.ts:332-357)
+
+def checks_and_counters(encounters: dict, min_n: float = 20):
+    cc = []
+    for opp, outcomes in encounters.items():
+        n = sum(outcomes[0:6])
+        if n <= min_n:
+            continue
+        koed, switched = outcomes[_KOED], outcomes[_SWITCHED]
+        p = js_round((koed + switched) / n)
+        d = js_round(math.sqrt((p * (1.0 - p)) / n))
+        score = js_round(p - 4 * d)
+        cc.append((opp, {"koed": koed, "switched": switched, "n": n,
+                         "p": p, "d": d, "score": score}))
+    cc.sort(key=lambda kv: (-kv[1]["score"], kv[0]))
+    return {display_species(k): v for k, v in cc}
+
+
+# ---------------------------------------------------------------------------
+# toMovesetStatistics (reports.ts:690-757)
+
+def to_moveset_statistics(v: FormatView, fmt: str, min_n: float = 20):
+    real = fmt in ("challengecup1v1", "1v1", "gen9challengecup1v1", "gen91v1")
+    total = max(1.0, v.usage_real if real else v.usage_weighted)
+
+    def usage(n):
+        return js_round((n / total) * 6, 1e7)
+
+    entries = list(v.pokemon.items())
+    entries.sort(key=lambda kv: (
+        -usage(kv[1].usage_real if real else kv[1].usage_weighted), kv[0]))
+
+    out = {}
+    for sid, p in entries:
+        out[sid] = {
+            "Raw count": p.raw_count,
+            "usage": usage(p.usage_real if real else p.usage_weighted),
+            "Viability Ceiling": list(p.viability),
+            "Abilities": to_display_object(p.abilities, display_ability),
+            "Items": to_display_object(p.items, display_item),
+            "Tera Types": to_display_object(p.teras, display_tera),
+            "Spreads": to_display_object(p.spreads),
+            "Happiness": to_display_object(p.happiness),
+            "Moves": to_display_object(p.moves, display_move),
+            "Teammates": to_display_object(
+                {display_species(k): w for k, w in p.teammates.items()}),
+            "Checks and Counters": checks_and_counters(p.encounters, min_n),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# renderers
+
+def usage_report(v: FormatView) -> str:
+    real_fmt = v.fmt in ("challengecup1v1", "1v1", "gen9challengecup1v1", "gen91v1")
+    entries = list(v.pokemon.items())
+    if real_fmt:
+        entries.sort(key=lambda kv: (-kv[1].usage_real, kv[0]))
+    else:
+        entries.sort(key=lambda kv: (-kv[1].usage_weighted, kv[0]))
+
+    s = f"Total battles: {v.battles}\n"
+    avg = round_str(v.usage_weighted / v.battles / 12, 1e3) if v.battles else "0.0"
+    s += f"Avg. weight/team: {avg}\n"
+    bar = "+ ---- + ------------------ + --------- + ------ + ------- + ------ + ------- + \n"
+    s += bar
+    s += "| Rank | Pokemon            | Usage %   | Raw    | %       | Real   | %       | \n"
+    s += bar
+    t_raw = max(1.0, v.usage_raw)
+    t_real = max(1.0, v.usage_real)
+    t_w = max(1.0, v.usage_weighted)
+    for i, (sid, p) in enumerate(entries):
+        if p.usage_raw == 0:
+            break
+        rank = f"{i + 1}".ljust(4)
+        poke = display_species(sid).ljust(18)
+        use = f"{(100 * p.usage_weighted / t_w) * 6:.5f}".rjust(8)
+        raw = f"{p.usage_raw}".ljust(6)
+        rawp = f"{(100 * p.usage_raw / t_raw) * 6:.3f}".rjust(6)
+        real = f"{p.usage_real}".ljust(6)
+        realp = f"{(100 * p.usage_real / t_real) * 6:.3f}".rjust(6)
+        s += f"| {rank} | {poke} | {use}% | {raw} | {rawp}% | {real} | {realp}% | \n"
+    s += bar
+    return s
+
+
+def leads_report(v: FormatView) -> str:
+    s = f"Total leads: {v.battles * 2}\n"
+    bar = "+ ---- + ------------------ + --------- + ------ + ------- + \n"
+    s += bar
+    s += "| Rank | Pokemon            | Usage %   | Raw    | %       | \n"
+    s += bar
+    t_raw = max(1.0, v.lead_raw)
+    t_w = max(1.0, v.lead_weighted)
+    entries = sorted(v.pokemon.items(),
+                     key=lambda kv: (-kv[1].lead_weighted, -kv[1].lead_raw, kv[0]))
+    for i, (sid, p) in enumerate(entries):
+        if p.lead_raw == 0:
+            break
+        rank = f"{i + 1}".ljust(4)
+        poke = display_species(sid).ljust(18)
+        use = f"{100 * p.lead_weighted / t_w:.5f}".rjust(8)
+        raw = f"{p.lead_raw}".ljust(6)
+        pct = f"{100 * p.lead_raw / t_raw:.3f}".rjust(6)
+        s += f"| {rank} | {poke} | {use}% | {raw} | {pct}% | \n"
+    s += bar
+    return s
+
+
+def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
+    movesets = movesets or to_moveset_statistics(v, v.fmt, min_[0])
+    width = 40
+
+    def pad(line):
+        return line.ljust(width + 1) + "|"
+
+    def heading(n):
+        return pad(f"| {n}") + "\n"
+
+    def display(n, w):
+        return pad(f"| {n} {100 * w:.3f}%") + "\n"
+
+    def other(total, f=1):
+        return pad(f"| Other {abs(f * 100 * (1 - total)):.3f}%") + "\n"
+
+    sep = "+" + "-" * width + "+\n"
+    s = ""
+    for sid, m in movesets.items():
+        if m["usage"] < 0.0001:
+            break
+        p = v.pokemon[sid]
+        s += sep
+        s += pad(f"| {display_species(sid)}") + "\n"
+        s += sep
+        s += pad(f"| Raw count: {m['Raw count']}") + "\n"
+        avg = round_str(p.saved_weight / p.saved_count, 1e12) if p.saved_count else "---"
+        s += pad(f"| Avg. weight: {avg}") + "\n"
+        ceiling = math.floor(m["Viability Ceiling"][1])
+        s += pad(f"| Viability Ceiling: {ceiling}") + "\n"
+        s += sep
+
+        total = 0.0
+        s += heading("Abilities")
+        for i, (name, w) in enumerate(m["Abilities"].items()):
+            if i > 5:
+                s += other(total)
+                break
+            weight = w / p.raw_weight
+            s += display(name, weight)
+            total += weight
+        s += sep
+        total = 0.0
+        s += heading("Items")
+        for name, w in m["Items"].items():
+            if total > 0.95:
+                s += other(total)
+                break
+            weight = w / p.raw_weight
+            s += display(name, weight)
+            total += weight
+        s += sep
+        total = 0.0
+        s += heading("Spreads")
+        for i, (name, w) in enumerate(m["Spreads"].items()):
+            if total > 0.95 or i > 5:
+                s += other(total)
+                break
+            weight = w / p.raw_weight
+            s += display(name, weight)
+            total += weight
+        s += sep
+        total = 0.0
+        s += heading("Moves")
+        for name, w in m["Moves"].items():
+            if total > 0.95:
+                s += other(total, 4)
+                break
+            weight = w / p.raw_weight
+            s += display(name, weight)
+            total += weight / 4
+        s += sep
+        total = 0.0
+        teras = m["Tera Types"]
+        if not (len(teras) == 1 and next(iter(teras)).lower() == "nothing"):
+            s += heading("Tera Types")
+            for name, w in teras.items():
+                if total > 0.95:
+                    s += other(total)
+                    break
+                weight = w / p.raw_weight
+                s += display(name, weight)
+                total += weight
+            s += sep
+            total = 0.0
+        s += heading("Teammates")
+        for i, (name, w) in enumerate(m["Teammates"].items()):
+            if total > 0.95 or i > 10:
+                break
+            if w < 0.005 * p.raw_weight:
+                break
+            weight = w / p.raw_weight
+            s += pad(f"| {name} {100 * weight:.3f}%") + "\n"
+            total += weight / 5
+        s += sep
+        cc = m["Checks and Counters"]
+        if any(e["p"] - 4.0 * e["d"] >= 0.5 for e in cc.values()):
+            s += heading("Checks and Counters")
+            for i, (name, e) in enumerate(cc.items()):
+                if i > 11:
+                    break
+                if e["score"] < min_[1]:
+                    break
+                line = pad(f"| {name} {100 * e['score']:.3f} "
+                           f"({100 * e['p']:.2f}±{100 * e['d']:.2f})") + "\n"
+                ko = 100 * e["koed"] / e["n"]
+                sw = 100 * e["switched"] / e["n"]
+                line += f"|\t({ko:.1f}% KOed / {sw:.1f}% switched out)"
+                if ko < 10:
+                    line += " "
+                if sw < 10:
+                    line += " "
+                s += line + "\n"
+            s += sep
+    return s
+
+
+def detailed_moveset_report(v: FormatView, tag=None, movesets=None,
+                            min_n: float = 20) -> str:
+    movesets = movesets or to_moveset_statistics(v, v.fmt, min_n)
+    info = {
+        "metagame": v.fmt, "cutoff": v.cutoff, "cutoff deviation": 0,
+        "team type": tag, "number of battles": v.battles,
+    }
+    data = {}
+    for sid, m in movesets.items():
+        if m["usage"] < 0.0001:
+            break
+        m = dict(m)
+        m["Checks and Counters"] = {
+            k: {"n": js_round(e["n"]), "p": js_round(e["p"]), "d": js_round(e["d"])}
+            for k, e in m["Checks and Counters"].items()}
+        data[display_species(sid)] = m
+    return json.dumps({"info": info, "data": data})
+
+
+def _fmod(a: float, b: float, f: float = 1e3) -> float:
+    # reports.ts:651-655
+    a = js_round(a, f)
+    b = js_round(b, f)
+    return (abs(a * f) % (b * f)) / f
+
+
+def stalliness_histogram(st: pd.DataFrame):
+    """Exact reconstruction of util.stallinessHistogram over value-grouped
+    sample mass (value, count, weight)."""
+    st = st.sort_values("value")
+    values = st["value"].to_numpy()
+    counts = st["count"].to_numpy().astype(np.int64)
+    weights = st["weight"].to_numpy()
+    n = int(counts.sum())
+    if n == 0:
+        return None
+    # sample-position quantiles over the expanded (virtual) list
+    cum = np.cumsum(counts)
+    index = n // 1000
+    low = float(values[np.searchsorted(cum, index + 1)])
+    high = float(values[np.searchsorted(cum, n - index)])
+    if low > 0:
+        low = 0.0
+    elif high < 0:
+        high = 0.0
+    nbins = 13
+    size = (high - low) / (nbins - 1)
+    bin_size = next((bs for bs in (10, 5, 2.5, 2, 1.5, 1, 0.5, 0.25, 0.2, 0.1, 0.05)
+                     if size > bs), 0.05)
+    xs = [0.0]
+    x = bin_size
+    while x + bin_size / 2 < high:
+        xs.append(x)
+        x += bin_size
+    x = -bin_size
+    while x - bin_size / 2 > low:
+        xs.append(x)
+        x -= bin_size
+    xs.sort()
+    hist = [[x, 0.0] for x in xs]
+    nb = len(hist)
+    j = 0
+    for v_, w in zip(values, weights):
+        while j < nb and v_ > hist[0][0] + bin_size * (j + 0.5):
+            j += 1
+        if j >= nb:
+            break
+        hist[j][1] += w
+    mean = float((values * weights).sum() / weights.sum())
+    return {"histogram": hist, "binSize": bin_size, "mean": mean,
+            "total": float(weights.sum())}
+
+
+def metagame_report(v: FormatView) -> str:
+    w_total = max(1.0, v.usage_weighted)
+    tags = sorted(v.tags.items(), key=lambda kv: (-kv[1], kv[0]))
+    s = ""
+    for tag, weight in tags:
+        dots = "." * max(0, 18 - len(tag))
+        s += f"{tag}{dots}{100.0 * weight / w_total * 6.0:.5f}%\n"
+    s += "\n"
+    if v.stalliness is None or not len(v.stalliness):
+        return s
+    h = stalliness_histogram(v.stalliness)
+    if h is None:
+        return s
+    max_w = max((x[1] for x in h["histogram"]), default=0.0)
+    block = max_w / 30
+    if block <= 0:
+        return s
+    s += f"Stalliness (mean: {h['mean']:.3f})\n"
+    for x, w in h["histogram"]:
+        line = "    |"
+        if _fmod(x, 2 * h["binSize"]) < h["binSize"] / 2:
+            line = ""
+            if x > 0:
+                line += "+"
+            elif x == 0:
+                line += " "
+            line += f"{x:.1f}|"
+        s += line + "#" * int(js_round(w / block, 1)) + "\n"
+    s += "more negative = more offensive, more positive = more stall\n"
+    s += f"one # = {100.0 * block / h['total']:.2f}%\n"
+    return s
+
+
+def display_statistics(v: FormatView, min_n: float = 20) -> str:
+    """Unified JSON (display.ts:94-200 shape, subset: per-species usage maps
+    rounded to 1e-4, zero-weight keys retained iff nonzero)."""
+    real = v.fmt in ("challengecup1v1", "1v1", "gen9challengecup1v1", "gen91v1")
+
+    def calc_usage(n_raw, n_real, n_w, t_raw, t_real, t_w, f=1):
+        return {
+            "raw": js_round(f * 100 * n_raw / max(1.0, t_raw), 1e4),
+            "real": js_round(f * 100 * n_real / max(1.0, t_real), 1e4),
+            "weighted": js_round(f * 100 * n_w / max(1.0, t_w), 1e4),
+        }
+
+    entries = list(v.pokemon.items())
+    entries.sort(key=lambda kv: (
+        -(kv[1].usage_real if real else kv[1].usage_weighted),
+        display_species(kv[0])))
+
+    def pct_obj(m, total, display=None):
+        d = display or str
+        items = sorted(m.items(), key=lambda kv: (-kv[1], d(kv[0])))
+        out = {}
+        for k, w in items:
+            r = js_round(100 * w / max(1.0, total), 1e4)
+            if r:
+                out[d(k)] = r
+        return out
+
+    pokemon = {}
+    for sid, p in entries:
+        usage = calc_usage(p.usage_raw, p.usage_real, p.usage_weighted,
+                           v.usage_raw, v.usage_real, v.usage_weighted, 6)
+        if not usage["weighted"]:
+            break
+        pokemon[display_species(sid)] = {
+            "lead": calc_usage(p.lead_raw, p.lead_real, p.lead_weighted,
+                               v.lead_raw, v.lead_real, v.lead_weighted),
+            "usage": usage,
+            "count": p.raw_count,
+            "weight": js_round(p.saved_weight / p.saved_count) if p.saved_count else None,
+            "viability": list(p.viability),
+            "abilities": pct_obj(p.abilities, p.raw_weight, display_ability),
+            "items": pct_obj(p.items, p.raw_weight, display_item),
+            "teraTypes": pct_obj(p.teras, p.raw_weight, display_tera),
+            "stats": pct_obj(p.statsmap, p.raw_weight),
+            "moves": pct_obj(p.moves, p.raw_weight, display_move),
+            "teammates": pct_obj(
+                {display_species(k): w for k, w in p.teammates.items()},
+                p.raw_weight),
+            "counters": {
+                k: [js_round(e["n"], 1e4), js_round(100 * e["p"], 1e4),
+                    js_round(100 * e["d"], 1e4)]
+                for k, e in checks_and_counters(p.encounters, min_n).items()},
+        }
+
+    tags = {t: js_round(100 * w / max(1.0, v.usage_weighted) * 6, 1e4)
+            for t, w in sorted(v.tags.items(), key=lambda kv: (-kv[1], kv[0]))}
+    return json.dumps({
+        "battles": v.battles,
+        "pokemon": pokemon,
+        "metagame": {"tags": tags},
+    })
+
+
+# ---------------------------------------------------------------------------
+# inverse parsers (S10 — display.ts:387-535 analogues)
+
+def parse_usage_report(report: str):
+    lines = report.split("\n")
+    battles = int(lines[0].split(":")[1])
+    avg = float(lines[1].split(":")[1])
+    usage = {}
+    for line in lines[5:]:
+        if not line.startswith("| ") or line.startswith("| Rank"):
+            continue
+        cols = [c.strip() for c in line.split("|")]
+        if len(cols) < 8 or not cols[1].isdigit():
+            continue
+        usage[cols[2]] = {
+            "usage_pct": float(cols[3].rstrip("%")),
+            "raw": int(cols[4]), "raw_pct": float(cols[5].rstrip("%")),
+            "real": int(cols[6]), "real_pct": float(cols[7].rstrip("%")),
+        }
+    return {"battles": battles, "avg_weight": avg, "usage": usage}
+
+
+def parse_leads_report(report: str):
+    lines = report.split("\n")
+    total = int(lines[0].split(":")[1])
+    leads = {}
+    for line in lines[3:]:
+        cols = [c.strip() for c in line.split("|")]
+        if len(cols) < 6 or not cols[1].isdigit():
+            continue
+        leads[cols[2]] = {"usage_pct": float(cols[3].rstrip("%")),
+                          "raw": int(cols[4]), "raw_pct": float(cols[5].rstrip("%"))}
+    return {"total_leads": total, "leads": leads}
+
+
+def parse_metagame_report(report: str):
+    tags = {}
+    mean = None
+    tag_re = re.compile(r"^([a-z]+?)(\.*)(\d+\.\d+)%$")
+    for line in report.split("\n"):
+        m = tag_re.match(line)
+        if m:
+            tags[m.group(1)] = float(m.group(3))
+        elif line.startswith("Stalliness"):
+            mean = float(line.split("mean:")[1].rstrip(")").strip())
+    return {"tags": tags, "stalliness_mean": mean}
