@@ -2,12 +2,17 @@
 
 The reference accumulates a nested dict-of-counters per worker then merges
 checkpoints (stats/src/stats.ts:66-242). Here the same totals are expressed
-Ray-Data-natively: each family explodes parsed battles into long-form rows
-*pre-aggregated per batch* (a combiner — pandas groupby inside map_batches),
-then a single `groupby().aggregate(Sum/Max)` shuffle over the much smaller
-partials finishes the job. This keeps the all-to-all exchange proportional
-to the number of distinct keys per block, not to row count, which is what
-makes the hot-format skew (gen9ou-style keys) tractable at scale.
+Ray-Data-natively with two scale tricks:
+
+1. **In-batch partial combine** — each family explodes parsed battles into
+   long-form rows pre-aggregated per batch (pandas groupby inside
+   map_batches), so the all-to-all exchange moves distinct keys per block,
+   not raw rows.
+2. **Cutoff-wide rows** — the 4 rating cutoffs are a pure function of
+   `format` (T5), so shuffle rows carry w0..w3 as wide columns keyed only by
+   (format, ...); the (cutoff, weight) long form is re-exploded AFTER the
+   global groupby, over the (small) aggregate. This cuts shuffle volume 4x
+   and removes `cutoff` from every shuffle key.
 
 Weight semantics (stats.ts:272-389, non-legacy: weights.s == weights.m):
 - moveset count-maps (abilities/items/teras/spreads/stats/moves/happiness)
@@ -25,10 +30,14 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Max, Sum
 
+from ..dex import cutoffs_for
+
 # inverse-outcome lookup (stats.ts:474-483)
 INVERSE_OUTCOMES = np.array([1, 0, 2, 4, 3, 5, 7, 6, 9, 8, 11, 10, 12], dtype=np.int8)
 
 _CUTS = range(4)
+_W = [f"w{k}" for k in _CUTS]
+_EXPLODE_BATCH = 2048
 
 
 def _col(t: pa.Table, name: str) -> np.ndarray:
@@ -45,6 +54,15 @@ def _pt(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _side_w(t: pa.Table, parent: np.ndarray, side: np.ndarray) -> dict[str, np.ndarray]:
+    """per-slot weight columns w0..w3 resolved by side."""
+    out = {}
+    for k in _CUTS:
+        out[f"w{k}"] = np.where(side == 1, _col(t, f"p1_w{k}")[parent],
+                                _col(t, f"p2_w{k}")[parent])
+    return out
+
+
 def _batch_counted(t: pa.Table) -> np.ndarray:
     """battle 'counted' gate: non-short AND (non-singles OR valid leads)
     (stats.ts:175-209)."""
@@ -52,6 +70,31 @@ def _batch_counted(t: pa.Table) -> np.ndarray:
     singles = _col(t, "singles")
     lead_ok = (_col(t, "lead1") != "empty") & (_col(t, "lead2") != "empty")
     return (~short) & (~singles | lead_ok)
+
+
+def _unpivot_cutoffs(keys: list[str], weight_cols: dict[str, str],
+                     copy_cols: list[str] = ()):  # noqa: B006
+    """Build a post-aggregation map_batches fn expanding w0..w3 into
+    (cutoff, <named>) long form using each format's cutoff schedule."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        fmts = df["format"].to_numpy()
+        cut_sched = np.array([cutoffs_for(f) for f in fmts], dtype=np.int32)
+        frames = []
+        for k in _CUTS:
+            sub = df[keys].copy()
+            sub["cutoff"] = cut_sched[:, k]
+            for out_name, prefix in weight_cols.items():
+                sub[out_name] = df[f"{prefix}{k}"].to_numpy()
+            for c in copy_cols:
+                sub[c] = df[c].to_numpy()
+            frames.append(sub)
+        out = pd.concat(frames, ignore_index=True)
+        cols = keys[:1] + ["cutoff"] + keys[1:] + list(weight_cols) + list(copy_cols)
+        return _pt(out[cols])
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -68,36 +111,43 @@ def _explode_usage(t: pa.Table) -> pa.Table:
     winner = _col(t, "winner")[parent]
     win = (winner == side).astype(np.int64)
     ns = (~short).astype(np.int64)
+    valid = np.where(side == 1, _col(t, "p1_valid")[parent],
+                     _col(t, "p2_valid")[parent])
+    w = _side_w(t, parent, side)
 
-    frames = []
+    cols = {
+        "format": fmt, "species": species,
+        "raw_count": 1, "saved_count": valid.astype(np.int64),
+        "usage_raw": ns, "usage_real": ns * real,
+        "win_raw": ns * win, "win_real": ns * win * real,
+    }
     for k in _CUTS:
-        w = np.where(side == 1, _col(t, f"p1_w{k}")[parent], _col(t, f"p2_w{k}")[parent])
-        valid = np.where(side == 1, _col(t, "p1_valid")[parent],
-                         _col(t, "p2_valid")[parent])
-        cutoff = np.where(side == 1, _col(t, f"cutoff{k}")[parent],
-                          _col(t, f"cutoff{k}")[parent])
-        frames.append(pd.DataFrame({
-            "format": fmt, "cutoff": cutoff.astype(np.int32), "species": species,
-            "raw_count": 1, "raw_weight": w,
-            "saved_count": valid.astype(np.int64), "saved_weight": np.where(valid, w, 0.0),
-            "usage_raw": ns, "usage_real": ns * real, "usage_weighted": ns * w,
-            "win_raw": ns * win, "win_real": ns * win * real,
-            "win_weighted": ns * win * w,
-        }))
-    df = pd.concat(frames, ignore_index=True)
-    out = df.groupby(["format", "cutoff", "species"], as_index=False, sort=False).sum()
+        cols[f"rw{k}"] = w[f"w{k}"]
+        cols[f"sw{k}"] = np.where(valid, w[f"w{k}"], 0.0)
+        cols[f"uw{k}"] = ns * w[f"w{k}"]
+        cols[f"ww{k}"] = ns * win * w[f"w{k}"]
+    df = pd.DataFrame(cols)
+    out = df.groupby(["format", "species"], as_index=False, sort=False).sum()
     return _pt(out)
 
 
-USAGE_MEASURES = ["raw_count", "raw_weight", "saved_count", "saved_weight",
-                  "usage_raw", "usage_real", "usage_weighted",
-                  "win_raw", "win_real", "win_weighted"]
+_USAGE_SUMS = (["raw_count", "saved_count", "usage_raw", "usage_real",
+                "win_raw", "win_real"]
+               + [f"{p}{k}" for p in ("rw", "sw", "uw", "ww") for k in _CUTS])
 
 
 def usage_stats(parsed: Dataset) -> Dataset:
-    part = parsed.map_batches(_explode_usage, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff", "species"]).aggregate(
-        *[Sum(m, alias_name=m) for m in USAGE_MEASURES])
+    part = parsed.map_batches(_explode_usage, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["format", "species"]).aggregate(
+        *[Sum(m, alias_name=m) for m in _USAGE_SUMS])
+    return agg.map_batches(
+        _unpivot_cutoffs(["format", "species"],
+                         {"raw_weight": "rw", "saved_weight": "sw",
+                          "usage_weighted": "uw", "win_weighted": "ww"},
+                         ["raw_count", "saved_count", "usage_raw", "usage_real",
+                          "win_raw", "win_real"]),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -108,41 +158,44 @@ def _explode_movesets(t: pa.Table) -> pa.Table:
     side = flat.field("side").to_numpy()
     species = flat.field("species").to_numpy(zero_copy_only=False)
     fmt = _col(t, "format")[parent]
+    w = _side_w(t, parent, side)
 
     ability = flat.field("ability").to_numpy(zero_copy_only=False)
     # unknown ability counts as illuminate (stats.ts:330)
     ability = np.where(ability == "unknown", "illuminate", ability)
-    kinds = {
-        "ability": ability,
-        "item": flat.field("item").to_numpy(zero_copy_only=False),
-        "tera": flat.field("tera").to_numpy(zero_copy_only=False),
-        "spread": flat.field("spread").to_numpy(zero_copy_only=False),
-        "stats": flat.field("stats").to_numpy(zero_copy_only=False),
-        "happiness": flat.field("happiness").to_numpy().astype(str),
-        "move:1": flat.field("move1").to_numpy(zero_copy_only=False),
-        "move:2": flat.field("move2").to_numpy(zero_copy_only=False),
-        "move:3": flat.field("move3").to_numpy(zero_copy_only=False),
-        "move:4": flat.field("move4").to_numpy(zero_copy_only=False),
-    }
+    kinds = [
+        ("ability", ability),
+        ("item", flat.field("item").to_numpy(zero_copy_only=False)),
+        ("tera", flat.field("tera").to_numpy(zero_copy_only=False)),
+        ("spread", flat.field("spread").to_numpy(zero_copy_only=False)),
+        ("stats", flat.field("stats").to_numpy(zero_copy_only=False)),
+        ("happiness", flat.field("happiness").to_numpy().astype(str)),
+        ("move", flat.field("move1").to_numpy(zero_copy_only=False)),
+        ("move", flat.field("move2").to_numpy(zero_copy_only=False)),
+        ("move", flat.field("move3").to_numpy(zero_copy_only=False)),
+        ("move", flat.field("move4").to_numpy(zero_copy_only=False)),
+    ]
     frames = []
-    for k in _CUTS:
-        w = np.where(side == 1, _col(t, f"p1_w{k}")[parent], _col(t, f"p2_w{k}")[parent])
-        cutoff = _col(t, f"cutoff{k}")[parent].astype(np.int32)
-        for kind, keys in kinds.items():
-            frames.append(pd.DataFrame({
-                "format": fmt, "cutoff": cutoff, "species": species,
-                "kind": kind.split(":")[0], "key": keys, "weight": w,
-            }))
+    for kind, keys in kinds:
+        cols = {"format": fmt, "species": species, "kind": kind, "key": keys}
+        for k in _CUTS:
+            cols[f"w{k}"] = w[f"w{k}"]
+        frames.append(pd.DataFrame(cols))
     df = pd.concat(frames, ignore_index=True)
-    out = df.groupby(["format", "cutoff", "species", "kind", "key"],
-                     as_index=False, sort=False)["weight"].sum()
+    out = df.groupby(["format", "species", "kind", "key"],
+                     as_index=False, sort=False).sum()
     return _pt(out)
 
 
 def moveset_stats(parsed: Dataset) -> Dataset:
-    part = parsed.map_batches(_explode_movesets, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff", "species", "kind", "key"]).aggregate(
-        Sum("weight", alias_name="weight"))
+    part = parsed.map_batches(_explode_movesets, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["format", "species", "kind", "key"]).aggregate(
+        *[Sum(m, alias_name=m) for m in _W])
+    return agg.map_batches(
+        _unpivot_cutoffs(["format", "species", "kind", "key"],
+                         {"weight": "w"}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -152,27 +205,33 @@ def _explode_leads(t: pa.Table) -> pa.Table:
     counted = _batch_counted(t) & _col(t, "singles")
     fmt = _col(t, "format")
     frames = []
-    for k in _CUTS:
-        cutoff = _col(t, f"cutoff{k}").astype(np.int32)
-        for side, lead_col, w_col in ((1, "lead1", f"p1_w{k}"), (2, "lead2", f"p2_w{k}")):
-            mask = counted
-            frames.append(pd.DataFrame({
-                "format": fmt[mask], "cutoff": cutoff[mask],
-                "species": _col(t, lead_col)[mask],
-                "lead_raw": 1, "lead_real": 1,
-                "lead_weighted": _col(t, w_col)[mask],
-            }))
+    for side, lead_col in ((1, "lead1"), (2, "lead2")):
+        cols = {"format": fmt[counted], "species": _col(t, lead_col)[counted],
+                "lead_raw": 1}
+        for k in _CUTS:
+            cols[f"w{k}"] = _col(t, f"p{side}_w{k}")[counted]
+        frames.append(pd.DataFrame(cols))
     df = pd.concat(frames, ignore_index=True)
-    out = df.groupby(["format", "cutoff", "species"], as_index=False, sort=False).sum()
+    out = df.groupby(["format", "species"], as_index=False, sort=False).sum()
     return _pt(out)
 
 
 def lead_stats(parsed: Dataset) -> Dataset:
-    part = parsed.map_batches(_explode_leads, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff", "species"]).aggregate(
+    part = parsed.map_batches(_explode_leads, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["format", "species"]).aggregate(
         Sum("lead_raw", alias_name="lead_raw"),
-        Sum("lead_real", alias_name="lead_real"),
-        Sum("lead_weighted", alias_name="lead_weighted"))
+        *[Sum(m, alias_name=m) for m in _W])
+
+    def finish(t: pa.Table) -> pa.Table:
+        base = _unpivot_cutoffs(["format", "species"], {"lead_weighted": "w"},
+                                ["lead_raw"])(t)
+        df = base.to_pandas()
+        df["lead_real"] = df["lead_raw"]  # updateLeads: real == raw
+        return _pt(df[["format", "cutoff", "species", "lead_raw", "lead_real",
+                       "lead_weighted"]])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -180,20 +239,27 @@ def lead_stats(parsed: Dataset) -> Dataset:
 
 def _explode_battles(t: pa.Table) -> pa.Table:
     counted = _batch_counted(t)
-    fmt = _col(t, "format")[counted]
-    frames = []
-    for k in _CUTS:
-        frames.append(pd.DataFrame({
-            "format": fmt, "cutoff": _col(t, f"cutoff{k}")[counted].astype(np.int32),
-            "battles": 1,
-        }))
-    df = pd.concat(frames, ignore_index=True)
-    return _pt(df.groupby(["format", "cutoff"], as_index=False, sort=False).sum())
+    df = pd.DataFrame({"format": _col(t, "format")[counted], "battles": 1})
+    return _pt(df.groupby("format", as_index=False, sort=False).sum())
 
 
 def battle_counts(parsed: Dataset) -> Dataset:
-    part = parsed.map_batches(_explode_battles, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff"]).aggregate(Sum("battles", alias_name="battles"))
+    part = parsed.map_batches(_explode_battles, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby("format").aggregate(Sum("battles", alias_name="battles"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        frames = []
+        for k in _CUTS:
+            sub = df.copy()
+            sub["cutoff"] = [cutoffs_for(f)[k] for f in df["format"]]
+            frames.append(sub)
+        out = pd.concat(frames, ignore_index=True)
+        out["cutoff"] = out["cutoff"].astype(np.int32)
+        return _pt(out[["format", "cutoff", "battles"]])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -207,30 +273,33 @@ def _explode_encounters(t: pa.Table) -> pa.Table:
     s2 = flat.field("s2").to_numpy(zero_copy_only=False)
     out = flat.field("outcome").to_numpy()
 
-    counted = _batch_counted(t)[parent]
+    m = _batch_counted(t)[parent]
     fmt = _col(t, "format")[parent]
+    wmin = {k: np.minimum(_col(t, f"p1_w{k}"), _col(t, f"p2_w{k}"))[parent]
+            for k in _CUTS}
     frames = []
-    for k in _CUTS:
-        w = np.minimum(_col(t, f"p1_w{k}"), _col(t, f"p2_w{k}"))[parent]
-        cutoff = _col(t, f"cutoff{k}")[parent].astype(np.int32)
-        m = counted
-        # both directions with inverse outcomes (stats.ts:485-514)
-        frames.append(pd.DataFrame({
-            "format": fmt[m], "cutoff": cutoff[m], "species": s1[m],
-            "opponent": s2[m], "outcome": out[m], "weight": w[m]}))
-        frames.append(pd.DataFrame({
-            "format": fmt[m], "cutoff": cutoff[m], "species": s2[m],
-            "opponent": s1[m], "outcome": INVERSE_OUTCOMES[out[m]], "weight": w[m]}))
+    # both directions with inverse outcomes (stats.ts:485-514)
+    for sp, opp, oc in ((s1, s2, out), (s2, s1, INVERSE_OUTCOMES[out])):
+        cols = {"format": fmt[m], "species": sp[m], "opponent": opp[m],
+                "outcome": oc[m]}
+        for k in _CUTS:
+            cols[f"w{k}"] = wmin[k][m]
+        frames.append(pd.DataFrame(cols))
     df = pd.concat(frames, ignore_index=True)
-    out_df = df.groupby(["format", "cutoff", "species", "opponent", "outcome"],
-                        as_index=False, sort=False)["weight"].sum()
+    out_df = df.groupby(["format", "species", "opponent", "outcome"],
+                        as_index=False, sort=False).sum()
     return _pt(out_df)
 
 
 def encounter_stats(parsed: Dataset) -> Dataset:
-    part = parsed.map_batches(_explode_encounters, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff", "species", "opponent", "outcome"]).aggregate(
-        Sum("weight", alias_name="weight"))
+    part = parsed.map_batches(_explode_encounters, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["format", "species", "opponent", "outcome"]).aggregate(
+        *[Sum(m, alias_name=m) for m in _W])
+    return agg.map_batches(
+        _unpivot_cutoffs(["format", "species", "opponent", "outcome"],
+                         {"weight": "w"}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +315,6 @@ def _explode_teammates(t: pa.Table) -> pa.Table:
     short = _col(t, "short")
     fmt = _col(t, "format")
 
-    # build pair index arrays (i>j within each battle-side) in numpy
     pa_idx, pb_idx, pparent = [], [], []
     for b in range(len(t)):
         if short[b]:
@@ -263,34 +331,34 @@ def _explode_teammates(t: pa.Table) -> pa.Table:
             pb_idx.append(idx[iu])
             pparent.append(np.full(len(iu), b, dtype=np.int64))
     if not pa_idx:
-        return _pt(pd.DataFrame({
-            "format": pd.Series(dtype=object), "cutoff": pd.Series(dtype=np.int32),
-            "s1": pd.Series(dtype=object), "s2": pd.Series(dtype=object),
-            "weight": pd.Series(dtype=np.float64)}))
+        empty = {"format": pd.Series(dtype=object),
+                 "s1": pd.Series(dtype=object), "s2": pd.Series(dtype=object)}
+        for k in _CUTS:
+            empty[f"w{k}"] = pd.Series(dtype=np.float64)
+        return _pt(pd.DataFrame(empty))
     ia = np.concatenate(pa_idx)
     ib = np.concatenate(pb_idx)
     par = np.concatenate(pparent)
     sa, sb = species[ia], species[ib]
-    lo_s = np.minimum(sa, sb)
-    hi_s = np.maximum(sa, sb)
     sd = side[ia]
-
-    frames = []
+    cols = {"format": fmt[par], "s1": np.minimum(sa, sb),
+            "s2": np.maximum(sa, sb)}
+    w = _side_w(t, par, sd)
     for k in _CUTS:
-        w = np.where(sd == 1, _col(t, f"p1_w{k}")[par], _col(t, f"p2_w{k}")[par])
-        frames.append(pd.DataFrame({
-            "format": fmt[par], "cutoff": _col(t, f"cutoff{k}")[par].astype(np.int32),
-            "s1": lo_s, "s2": hi_s, "weight": w}))
-    df = pd.concat(frames, ignore_index=True)
-    out = df.groupby(["format", "cutoff", "s1", "s2"], as_index=False,
-                     sort=False)["weight"].sum()
+        cols[f"w{k}"] = w[f"w{k}"]
+    df = pd.DataFrame(cols)
+    out = df.groupby(["format", "s1", "s2"], as_index=False, sort=False).sum()
     return _pt(out)
 
 
 def teammate_stats(parsed: Dataset) -> Dataset:
-    part = parsed.map_batches(_explode_teammates, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff", "s1", "s2"]).aggregate(
-        Sum("weight", alias_name="weight"))
+    part = parsed.map_batches(_explode_teammates, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["format", "s1", "s2"]).aggregate(
+        *[Sum(m, alias_name=m) for m in _W])
+    return agg.map_batches(
+        _unpivot_cutoffs(["format", "s1", "s2"], {"weight": "w"}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -299,18 +367,22 @@ def teammate_stats(parsed: Dataset) -> Dataset:
 # player's team (the loop in stats.ts:284-295), so the contribution is
 # n_mons * w — replicated deliberately.
 
-def _explode_metagame(t: pa.Table) -> pa.Table:
-    fmt = _col(t, "format")
-    short = _col(t, "short")
-    nmons = {}
+def _nmons(t: pa.Table) -> dict[int, np.ndarray]:
     slots = t["slots"].combine_chunks()
-    parent_s, flat_s = pc.list_parent_indices(slots).to_numpy(), slots.flatten()
-    sside = flat_s.field("side").to_numpy()
+    parent_s = pc.list_parent_indices(slots).to_numpy()
+    sside = slots.flatten().field("side").to_numpy()
+    out = {}
     for s in (1, 2):
         cnt = np.zeros(len(t), dtype=np.int64)
         np.add.at(cnt, parent_s[sside == s], 1)
-        nmons[s] = cnt
+        out[s] = cnt
+    return out
 
+
+def _explode_metagame(t: pa.Table) -> pa.Table:
+    fmt = _col(t, "format")
+    short = _col(t, "short")
+    nm = _nmons(t)
     frames = []
     for j, side in enumerate(("p1", "p2")):
         tags = t[f"{side}_tags"].combine_chunks()
@@ -318,21 +390,62 @@ def _explode_metagame(t: pa.Table) -> pa.Table:
         tag = tags.flatten().to_numpy(zero_copy_only=False)
         mask = ~short[par]
         par_m, tag_m = par[mask], tag[mask]
-        mult = nmons[j + 1][par_m]
+        mult = nm[j + 1][par_m]
+        cols = {"format": fmt[par_m], "tag": tag_m}
         for k in _CUTS:
-            w = _col(t, f"{side}_w{k}")[par_m]
-            frames.append(pd.DataFrame({
-                "format": fmt[par_m], "cutoff": _col(t, f"cutoff{k}")[par_m].astype(np.int32),
-                "tag": tag_m, "weight": w * mult}))
+            cols[f"w{k}"] = _col(t, f"{side}_w{k}")[par_m] * mult
+        frames.append(pd.DataFrame(cols))
     df = pd.concat(frames, ignore_index=True)
-    out = df.groupby(["format", "cutoff", "tag"], as_index=False, sort=False)["weight"].sum()
+    out = df.groupby(["format", "tag"], as_index=False, sort=False).sum()
     return _pt(out)
 
 
 def metagame_stats(parsed: Dataset) -> Dataset:
-    part = parsed.map_batches(_explode_metagame, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff", "tag"]).aggregate(
-        Sum("weight", alias_name="weight"))
+    part = parsed.map_batches(_explode_metagame, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["format", "tag"]).aggregate(
+        *[Sum(m, alias_name=m) for m in _W])
+    return agg.map_batches(
+        _unpivot_cutoffs(["format", "tag"], {"weight": "w"}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stalliness sample mass per (format, cutoff, value)   [A12 input]
+
+def _explode_stalliness(t: pa.Table) -> pa.Table:
+    fmt = _col(t, "format")
+    short = _col(t, "short")
+    nm = _nmons(t)
+    ns = ~short
+    frames = []
+    for j, side in enumerate(("p1", "p2")):
+        val = _col(t, f"{side}_stalliness")
+        mult = nm[j + 1]
+        cols = {"format": fmt[ns], "value": val[ns], "count": mult[ns]}
+        for k in _CUTS:
+            cols[f"w{k}"] = (_col(t, f"{side}_w{k}") * mult)[ns]
+        frames.append(pd.DataFrame(cols))
+    df = pd.concat(frames, ignore_index=True)
+    out = df.groupby(["format", "value"], as_index=False, sort=False).sum()
+    return _pt(out)
+
+
+def stalliness_stats(parsed: Dataset) -> Dataset:
+    """A12 input: stalliness sample mass grouped by exact value.
+
+    The reference collects every (value, weight) pair (one per *mon* of each
+    non-short battle-player, stats.ts:290-295); distinct values are bounded
+    by team-composition combinatorics, so grouping by exact value keeps the
+    histogram reconstruction exact while staying aggregate-sized at scale."""
+    part = parsed.map_batches(_explode_stalliness, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["format", "value"]).aggregate(
+        Sum("count", alias_name="count"),
+        *[Sum(m, alias_name=m) for m in _W])
+    return agg.map_batches(
+        _unpivot_cutoffs(["format", "value"], {"weight": "w"}, ["count"]),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -347,30 +460,57 @@ def _explode_unique(t: pa.Table) -> pa.Table:
     fmt = _col(t, "format")[parent]
     short = _col(t, "short")[parent]
     ns = ~short
+    g = np.where(side == 1, _col(t, "p1_gxe")[parent], _col(t, "p2_gxe")[parent])
+    g = g.astype(np.float64)
+    g = np.where(np.isnan(g), -1.0, g)
+    w = _side_w(t, parent, side)
 
-    frames = []
+    cols = {"format": fmt, "species": species, "player": player,
+            "r": np.where(ns, real, 0), "g": g}
     for k in _CUTS:
-        w = np.where(side == 1, _col(t, f"p1_w{k}")[parent], _col(t, f"p2_w{k}")[parent])
-        g = np.where(side == 1, _col(t, "p1_gxe")[parent], _col(t, "p2_gxe")[parent])
-        frames.append(pd.DataFrame({
-            "format": fmt, "cutoff": _col(t, f"cutoff{k}")[parent].astype(np.int32),
-            "species": species, "player": player,
-            "r": np.where(ns, real, 0), "w": np.where(ns, w, 0.0),
-            "g": np.where(np.isnan(g.astype(np.float64)), -1.0, g.astype(np.float64)),
-        }))
-    df = pd.concat(frames, ignore_index=True)
-    out = df.groupby(["format", "cutoff", "species", "player"],
+        cols[f"w{k}"] = np.where(ns, w[f"w{k}"], 0.0)
+    df = pd.DataFrame(cols)
+    out = df.groupby(["format", "species", "player"],
                      as_index=False, sort=False).max()
     return _pt(out)
 
 
+def _per_player_max(parsed: Dataset) -> Dataset:
+    part = parsed.map_batches(_explode_unique, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    return part.groupby(["format", "species", "player"]).aggregate(
+        Max("r", alias_name="r"), Max("g", alias_name="g"),
+        *[Max(m, alias_name=m) for m in _W])
+
+
+def unique_player_rollup(parsed: Dataset) -> Dataset:
+    """Two-level exact dedup (A9): hash-shuffled max per (.., player), then a
+    per-species count/sum. The per-player state never lives in one worker's
+    heap (the reference's unbounded-memory concern, FAQ.md:78-90)."""
+    per_player = _per_player_max(parsed)
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"format": [df["format"].iloc[0]],
+               "species": [df["species"].iloc[0]],
+               "n_players": [len(df)], "real_players": [int(df["r"].sum())]}
+        for k in _CUTS:
+            row[f"sw{k}"] = [float(df[f"w{k}"].sum())]
+        return pd.DataFrame(row)
+
+    rolled = per_player.groupby(["format", "species"]).map_groups(
+        _count, batch_format="pandas")
+    return rolled.map_batches(
+        _unpivot_cutoffs(["format", "species"], {"sum_max_weight": "sw"},
+                         ["n_players", "real_players"]),
+        batch_format="pyarrow")
+
+
 def viability_stats(parsed: Dataset) -> Dataset:
     """A10: GXE order statistics [n, max, p99, p80] per species from the
-    per-player max-GXE dedup (util.ts:311-321). Group sizes are bounded by
-    distinct players, so the per-group sort is safe."""
-    part = parsed.map_batches(_explode_unique, batch_format="pyarrow")
-    per_player = part.groupby(["format", "cutoff", "species", "player"]).aggregate(
-        Max("g", alias_name="g"))
+    per-player max-GXE dedup (util.ts:311-321). GXE is cutoff-independent,
+    so the order statistics are computed once per (format, species) and
+    replicated across the cutoff schedule."""
+    per_player = _per_player_max(parsed)
 
     def _viab(df: pd.DataFrame) -> pd.DataFrame:
         gxes = np.sort(df["g"].to_numpy()[df["g"].to_numpy() >= 0])[::-1]
@@ -382,71 +522,24 @@ def viability_stats(parsed: Dataset) -> Dataset:
                     float(gxes[int(np.ceil(0.01 * n)) - 1]),
                     float(gxes[int(np.ceil(0.2 * n)) - 1])]
         return pd.DataFrame({
-            "format": [df["format"].iloc[0]], "cutoff": [df["cutoff"].iloc[0]],
-            "species": [df["species"].iloc[0]],
+            "format": [df["format"].iloc[0]], "species": [df["species"].iloc[0]],
             "v_n": [int(vals[0])], "v_max": [vals[1]],
             "v_p99": [vals[2]], "v_p80": [vals[3]],
         })
 
-    return per_player.groupby(["format", "cutoff", "species"]).map_groups(
+    rolled = per_player.groupby(["format", "species"]).map_groups(
         _viab, batch_format="pandas")
 
-
-def stalliness_stats(parsed: Dataset) -> Dataset:
-    """A12 input: stalliness sample mass grouped by exact value.
-
-    The reference collects every (value, weight) pair (one per *mon* of each
-    non-short battle-player, stats.ts:290-295); distinct values are bounded
-    by team-composition combinatorics, so grouping by exact value keeps the
-    histogram reconstruction exact while staying aggregate-sized at scale."""
-
-    def _explode(t: pa.Table) -> pa.Table:
-        fmt = _col(t, "format")
-        short = _col(t, "short")
-        slots = t["slots"].combine_chunks()
-        parent_s = pc.list_parent_indices(slots).to_numpy()
-        sside = slots.flatten().field("side").to_numpy()
-        nm = {}
-        for s in (1, 2):
-            cnt = np.zeros(len(t), dtype=np.int64)
-            np.add.at(cnt, parent_s[sside == s], 1)
-            nm[s] = cnt
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         frames = []
-        ns = ~short
-        for j, side in enumerate(("p1", "p2")):
-            val = _col(t, f"{side}_stalliness")
-            mult = nm[j + 1]
-            for k in _CUTS:
-                w = _col(t, f"{side}_w{k}")
-                frames.append(pd.DataFrame({
-                    "format": fmt[ns], "cutoff": _col(t, f"cutoff{k}")[ns].astype(np.int32),
-                    "value": val[ns], "count": mult[ns],
-                    "weight": (w * mult)[ns]}))
-        df = pd.concat(frames, ignore_index=True)
-        out = df.groupby(["format", "cutoff", "value"], as_index=False,
-                         sort=False).sum()
-        return _pt(out)
+        for k in _CUTS:
+            sub = df.copy()
+            sub["cutoff"] = np.array([cutoffs_for(f)[k] for f in df["format"]],
+                                     dtype=np.int32)
+            frames.append(sub)
+        out = pd.concat(frames, ignore_index=True)
+        return _pt(out[["format", "cutoff", "species", "v_n", "v_max",
+                        "v_p99", "v_p80"]])
 
-    part = parsed.map_batches(_explode, batch_format="pyarrow")
-    return part.groupby(["format", "cutoff", "value"]).aggregate(
-        Sum("count", alias_name="count"), Sum("weight", alias_name="weight"))
-
-
-def unique_player_rollup(parsed: Dataset) -> Dataset:
-    """Two-level exact dedup (A9): hash-shuffled max per (.., player), then a
-    per-species count/sum. The per-player state never lives in one worker's
-    heap (the reference's unbounded-memory concern, FAQ.md:78-90)."""
-    part = parsed.map_batches(_explode_unique, batch_format="pyarrow")
-    per_player = part.groupby(["format", "cutoff", "species", "player"]).aggregate(
-        Max("r", alias_name="r"), Max("w", alias_name="w"), Max("g", alias_name="g"))
-
-    def _count(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "format": [df["format"].iloc[0]], "cutoff": [df["cutoff"].iloc[0]],
-            "species": [df["species"].iloc[0]],
-            "n_players": [len(df)], "real_players": [int(df["r"].sum())],
-            "sum_max_weight": [float(df["w"].sum())],
-        })
-
-    return per_player.groupby(["format", "cutoff", "species"]).map_groups(
-        _count, batch_format="pandas")
+    return rolled.map_batches(finish, batch_format="pyarrow")

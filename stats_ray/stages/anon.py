@@ -1,0 +1,249 @@
+"""Anonymization pipeline (M8-M10, SURVEY.md §3.2).
+
+Replicates the semantics of the reference anonymizer
+(`anon/src/index.ts:61-165` driver, `:165-412` per-command handling,
+`:446-452` salted md5 hash, `:481-506` leak Verifier) over our protocol
+vocabulary:
+
+- players -> 'Player 1'/'Player 2' or md5(name+salt)[:10]
+- nicknames -> base species display name or salted hash
+- ratings simplified to {rpr, rprd}; timestamps/seed dropped
+- chat/join/meta lines dropped, battle-mechanical lines kept with idents
+  rewritten; inputLog filtered to '>pN ' choice lines
+- Verifier: word-boundary regex union of all replaced names, applied to
+  every emitted line
+
+Runs as a stateless map_batches over the tokens table (decode -> anonymize
+-> re-encode); the ordinal-rename pass (S8) assigns per-format ordinals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from .. import dex
+from ..dex import to_id
+from ..tokens import canonical_json, decode_column, encode_strings
+
+_IDENT = re.compile(r"^p\d[a-d]?: ")
+
+DROP = {
+    "", "c", "c:", "t:", ":", "chat", "join", "leave", "l", "j", "n", "name",
+    "unlink", "raw", "html", "uhtml", "uhtmlchange", "warning", "error",
+    "bigerror", "chatmsg", "chatmsg-raw", "controlshtml", "hidelines",
+    "fieldhtml", "inactive", "inactiveoff", "debug", "seed", "message",
+    "-message", "-hint",
+}
+KEEP = {
+    "done", "gametype", "gen", "tier", "rule", "teamsize", "clearpoke",
+    "teampreview", "start", "rated", "turn", "upkeep", "tie",
+}
+
+
+def _hash(s: str, salt: str) -> str:
+    return hashlib.md5(f"{s}{salt}".encode()).hexdigest()[:10]
+
+
+class Verifier:
+    """anon/src/index.ts:481-506."""
+
+    def __init__(self):
+        self.names: set[str] = set()
+        self.leaks: list[dict] = []
+        self._regex = None
+
+    def verify(self, inp: str, out: str) -> bool:
+        if self._regex is None:
+            parts = []
+            for n in self.names:
+                safe = re.escape(n)
+                nid = to_id(n)
+                parts.append(safe)
+                if nid:
+                    parts.append(nid)
+            self._regex = re.compile(r"\b(" + "|".join(parts) + r")\b") \
+                if parts else re.compile(r"(?!x)x")
+        if self._regex.search(out):
+            self.leaks.append({"input": inp, "output": out})
+            return False
+        return True
+
+    def ok(self) -> bool:
+        return not self.leaks
+
+
+def anonymize_doc(doc: dict, salt: str | None = None,
+                  verifier: Verifier | None = None) -> dict:
+    p1_raw, p2_raw = doc.get("p1", ""), doc.get("p2", "")
+    p1 = _hash(p1_raw, salt) if salt else "Player 1"
+    p2 = _hash(p2_raw, salt) if salt else "Player 2"
+    winner_raw = doc.get("winner", "")
+    winner = p1 if winner_raw == p1_raw else p2 if winner_raw == p2_raw else ""
+
+    if verifier:
+        verifier.names.add(p1_raw)
+        verifier.names.add(p2_raw)
+
+    def simplify_rating(r):
+        return {"rpr": r["rpr"], "rprd": r["rprd"]} if r else None
+
+    nick_map: dict[tuple[str, str], str] = {}
+
+    def anon_team(side: str, team: list[dict]) -> list[dict]:
+        out = []
+        for p in team or []:
+            p = dict(p)
+            name = p.get("name") or p.get("species") or ""
+            if salt:
+                anon_name = _hash(name, salt)
+            else:
+                sid = dex.species_id(p.get("species") or name)
+                anon_name = (dex.SPECIES[dex.base_species(sid)]["name"]
+                             if sid else (p.get("species") or name))
+            p["name"] = anon_name
+            nick_map[(side, name)] = anon_name
+            if anon_name != name and verifier:
+                verifier.names.add(name)
+            out.append(p)
+        return out
+
+    p1team = anon_team("p1", doc.get("p1team"))
+    p2team = anon_team("p2", doc.get("p2team"))
+
+    def anon_ident(field: str) -> str:
+        # 'p1a: Nick' -> 'p1a: <anon>'
+        m = _IDENT.match(field)
+        if not m:
+            return field
+        pos = field[:m.end()]
+        nick = field[m.end():]
+        side = pos[:2]
+        return pos + nick_map.get((side, nick), nick)
+
+    def anon_line(line: str):
+        if line == "":
+            return line
+        if not line.startswith("|"):
+            return None
+        parts = line.split("|")
+        cmd = parts[1] if len(parts) > 1 else ""
+        if cmd in DROP:
+            return None
+        if cmd in KEEP:
+            return line
+        if cmd == "win":
+            w = parts[2] if len(parts) > 2 else ""
+            anon_w = p1 if w == p1_raw else p2 if w == p2_raw else ""
+            return f"|win|{anon_w}"
+        if cmd == "player":
+            if len(parts) < 4 or not parts[3]:
+                return line
+            who = p1 if parts[3] == p1_raw else p2 if parts[3] == p2_raw else ""
+            return f"|player|{parts[2]}|{who}|1|"
+        # mechanical lines: rewrite every ident-shaped field
+        new = parts[:2] + [anon_ident(f) for f in parts[2:]]
+        return "|".join(new)
+
+    log = []
+    for line in doc.get("log") or []:
+        anon = anon_line(line)
+        if anon is not None:
+            if verifier:
+                verifier.verify(line, anon)
+            log.append(anon)
+
+    input_log = []
+    for line in doc.get("inputLog") or []:
+        if re.match(r"^>p\d ", line):
+            if verifier:
+                verifier.verify(line, line)
+            input_log.append(line)
+
+    return {
+        "format": doc.get("format"),
+        "endType": doc.get("endType"),
+        "turns": doc.get("turns"),
+        "score": doc.get("score"),
+        "p1rating": simplify_rating(doc.get("p1rating")),
+        "p2rating": simplify_rating(doc.get("p2rating")),
+        "p1": p1, "p2": p2, "winner": winner,
+        "p1team": p1team, "p2team": p2team,
+        "log": log, "inputLog": input_log,
+    }
+
+
+def sample_mask(doc_ids: list[str], rate: float, salt: str = "anon") -> list[bool]:
+    """F2: deterministic hash-based Bernoulli sample (reproducible, unlike
+    the reference's PRNG-order-dependent sampling, anon.ts:82-92)."""
+    out = []
+    for d in doc_ids:
+        h = int.from_bytes(hashlib.md5(f"{salt}:{d}".encode()).digest()[:8],
+                           "little")
+        out.append((h % 10_000) < rate * 10_000)
+    return out
+
+
+class AnonymizeBattles:
+    """Actor-pool stage: tokens table -> anonymized tokens table.
+
+    Output columns: doc_id, format, source, tokens (re-encoded anonymized
+    doc), n_tok, leaks (verifier hit count)."""
+
+    def __init__(self, salt: str | None = None, rate: float = 1.0,
+                 verify: bool = True):
+        self.salt = salt
+        self.rate = rate
+        self.verify = verify
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        if self.rate < 1.0:
+            mask = sample_mask(doc_ids, self.rate)
+            t = t.filter(pa.array(mask))
+            doc_ids = t["doc_id"].to_pylist()
+        docs = decode_column(t["tokens"])
+        out_docs, leaks = [], []
+        for s in docs:
+            verifier = Verifier() if self.verify else None
+            anon = anonymize_doc(json.loads(s), self.salt, verifier)
+            out_docs.append(canonical_json(anon))
+            leaks.append(len(verifier.leaks) if verifier else 0)
+        toks = encode_strings(out_docs)
+        return pa.table({
+            "doc_id": t["doc_id"], "format": pa.array(
+                [s.split("/", 1)[0] for s in t["source"].to_pylist()]),
+            "source": t["source"], "tokens": toks,
+            "n_tok": pa.array([len(d.encode()) for d in out_docs], pa.int32()),
+            "leaks": pa.array(leaks, pa.int32()),
+        })
+
+
+def anonymize_pipeline(corpus_dir: str, *, salt: str | None = None,
+                       rate: float = 1.0, concurrency=(1, 8)) -> Dataset:
+    import ray.data
+    ds = ray.data.read_parquet(f"{corpus_dir}/battles")
+    return ds.map_batches(
+        AnonymizeBattles,
+        fn_constructor_kwargs={"salt": salt, "rate": rate},
+        batch_format="pyarrow", batch_size=256, concurrency=concurrency)
+
+
+def ordinal_rename(anon: Dataset) -> Dataset:
+    """S8: rename doc_id to 'battle-<format>-<ordinal>' per format partition
+    (ordinal = rank of the original doc_id within the format — deterministic).
+    NOTE: map_groups per format; at corpus scale replace with per-partition
+    counts + prefix-sum offsets to avoid single-group hotspots."""
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        fmt = df["format"].iloc[0]
+        df["doc_id"] = [f"battle-{fmt}-{i + 1}" for i in range(len(df))]
+        return df
+
+    return anon.groupby("format").map_groups(rename, batch_format="pandas")

@@ -45,7 +45,7 @@ from .functions.statmath import hidden_power_type, spread_and_stats
 from .stages.classify import classify_team
 from .tokens import canonical_json, encode_strings
 
-SYNTH_VERSION = 1
+SYNTH_VERSION = 2
 DEFAULT_BASE = "/tmp/stats_ray_corpus"
 N_BATTLES = {"0.001": 2000, "0.01": 20000, "0.1": 200000}
 
@@ -234,9 +234,16 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
     bench2 = set(range(1, n2))
     to1, to2 = [0] * n1, [0] * n2
     kos1, kos2 = [0] * n1, [0] * n2
-    lines = ["|start",
+    lines = [f"|player|p1|{p1name}|266|1500",
+             f"|player|p2|{p2name}|102|1490",
+             "|gametype|singles", "|rated",
+             "|start",
              _switch_line("p1", team1_raw[0]),
              _switch_line("p2", team2_raw[0])]
+    if rng.random() < 0.4:
+        lines.append(f"|c|\u2606{p1name}|glhf")
+        lines.append(f"|j| {p2name}")
+        lines.append(f"|inactive|{p1name} has 270 seconds left.")
     matchups = []  # (p1_slot, p2_slot, outcome); species resolved by caller
 
     for t in range(1, turns + 1):
@@ -467,7 +474,7 @@ def gen_battle(i: int) -> dict:
     i2 = 1 + min(int(rng.paretovariate(1.1)), 400)
     if i2 == i1:
         i2 = i1 + 1
-    name1, name2 = f"Player {i1}", f"Player {i2}"
+    name1, name2 = f"Trainer {i1}", f"Trainer {i2}"
 
     def gen_rating(r):
         if r.random() < 0.15:
