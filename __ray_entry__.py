@@ -309,6 +309,40 @@ def _q_viability(sf_dir: str):
     return df
 
 
+def _q_mono_usage(sf_dir: str):
+    """F1 monotype shard fan-out: usage per (shard tag, cutoff, species)."""
+    from stats_ray.stages import aggregate as agg
+    df = agg.mono_usage_stats(_parsed(sf_dir)).to_pandas()
+    df["usage_raw"] = df["usage_raw"].astype("int64")
+    return _round_cols(df, ["usage_weighted"])
+
+
+def _q_rating_percentile(sf_dir: str):
+    """A15: per-format 90th-percentile rating (tools/stats cutoff)."""
+    from stats_ray.stages import aggregate as agg
+    df = agg.rating_percentile(_parsed(sf_dir)).to_pandas()
+    df["n_ratings"] = df["n_ratings"].astype("int64")
+    return df
+
+
+def _q_binary_roundtrip(sf_dir: str):
+    """M11/S9/A14: encode fixed-width binary rows, sort into the per-format
+    db, decode back, recount species usage."""
+    import tempfile
+
+    from stats_ray.stages import binary as B
+    corpus = _corpus(sf_dir)
+    db_dir = f"/tmp/stats_ray_db/{corpus.rsplit('/', 1)[1]}"
+    import os
+    import shutil
+    shutil.rmtree(db_dir, ignore_errors=True)
+    os.makedirs(db_dir, exist_ok=True)
+    B.binary_db(_parsed(sf_dir), db_dir)
+    df = B.species_counts_from_db(db_dir).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
 def _q_format_days(sf_dir: str):
     """S7 routed-row counts per (format, day) partition — no parse needed."""
     import pyarrow as pa
@@ -568,6 +602,41 @@ def _sql_viability():
         f" FROM ranked GROUP BY 1, 2, 3, n")
 
 
+def _sql_mono_usage():
+    return (
+        f"WITH b AS (SELECT * FROM {_gt('gt_battles')}"
+        f" WHERE format = 'gen9monotype'), bc AS {_bc_cte()} "
+        f"SELECT g.tag, bc.cutoff, s.species,"
+        f" CAST(SUM(CASE WHEN NOT bc.short THEN 1 ELSE 0 END) AS BIGINT)"
+        f"   AS usage_raw,"
+        f" ROUND(SUM(CASE WHEN NOT bc.short THEN"
+        f"   (CASE WHEN s.side=1 THEN bc.w1 ELSE bc.w2 END) ELSE 0 END), 4)"
+        f"   AS usage_weighted "
+        f"FROM {_gt('gt_slots')} s JOIN bc USING (doc_id)"
+        f" JOIN {_gt('gt_tags')} g"
+        f"   ON g.doc_id = s.doc_id AND g.side = s.side AND g.tag LIKE 'mono%'"
+        f" GROUP BY 1, 2, 3")
+
+
+def _sql_rating_percentile():
+    return (
+        f"WITH b AS {_b_cte()}, "
+        f"x AS (SELECT format, p1_rpr AS rpr FROM b WHERE p1_has_rating"
+        f" UNION ALL SELECT format, p2_rpr FROM b WHERE p2_has_rating), "
+        f"ranked AS (SELECT format, rpr,"
+        f" row_number() OVER (PARTITION BY format ORDER BY rpr) AS rn,"
+        f" COUNT(*) OVER (PARTITION BY format) AS n FROM x) "
+        f"SELECT format, CAST(n AS BIGINT) AS n_ratings, rpr AS percentile"
+        f" FROM ranked WHERE rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))")
+
+
+def _sql_binary_roundtrip():
+    return (
+        f"WITH b AS {_b_cte()} "
+        f"SELECT b.format, s.species, COUNT(*) AS n"
+        f" FROM {_gt('gt_slots')} s JOIN b USING (doc_id) GROUP BY 1, 2")
+
+
 def _sql_format_days():
     return (f"SELECT format, CAST(day AS INTEGER) AS day, COUNT(*) AS n"
             f" FROM {_gt('gt_battles')} GROUP BY 1, 2")
@@ -602,6 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "battle_format_days": _q_format_days,
         "battle_stalliness": _q_stalliness,
         "battle_viability": _q_viability,
+        "battle_mono_usage": _q_mono_usage,
+        "battle_rating_percentile": _q_rating_percentile,
+        "battle_binary_roundtrip": _q_binary_roundtrip,
     }
     from stats_ray.ops import queries as generic
     q.update(generic.QUERIES)
@@ -635,6 +707,9 @@ def oracle_sql() -> dict[str, str]:
         "battle_format_days": _sql_format_days(),
         "battle_stalliness": _sql_stalliness(),
         "battle_viability": _sql_viability(),
+        "battle_mono_usage": _sql_mono_usage(),
+        "battle_rating_percentile": _sql_rating_percentile(),
+        "battle_binary_roundtrip": _sql_binary_roundtrip(),
     }
     from stats_ray.ops import queries as generic
     sql.update(generic.ORACLES)

@@ -129,13 +129,29 @@ def render_reports(parsed: Dataset, out_dir: str, *, formats=None) -> dict:
 def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
                  concurrency=None) -> dict[str, int]:
     """Parse once, route to parquet, then aggregate each family from the
-    routed copy. Returns row counts per family (forces execution)."""
-    parsed = parse_pipeline(corpus_dir, concurrency=concurrency)
-    route_parsed(parsed, f"{out_dir}/parsed")
-    routed = ray.data.read_parquet(f"{out_dir}/parsed")
+    routed copy — resumable: every stage is a checkpointed partition (S4),
+    so a rerun skips completed work. Returns row counts per family."""
+    from .. import __version__
+    from ..state.checkpoints import Manifest
+
+    manifest = Manifest(out_dir, lineage={"corpus": corpus_dir,
+                                          "engine": __version__})
+
+    def do_parse(tmp: str) -> dict:
+        parsed = parse_pipeline(corpus_dir, concurrency=concurrency)
+        route_parsed(parsed, tmp)
+        return {"rows": ray.data.read_parquet(tmp).count()}
+
+    manifest.run("parsed", do_parse)
+    routed = ray.data.read_parquet(manifest.partition_dir("parsed"))
+
     counts = {}
     for name in (families or AGG_FAMILIES):
-        out = AGG_FAMILIES[name](routed)
-        out.write_parquet(f"{out_dir}/agg/{name}")
-        counts[name] = ray.data.read_parquet(f"{out_dir}/agg/{name}").count()
+        def do_agg(tmp: str, fn=AGG_FAMILIES[name]) -> dict:
+            out = fn(routed)
+            out.write_parquet(tmp)
+            return {"rows": ray.data.read_parquet(tmp).count()}
+
+        entry = manifest.run(f"agg-{name}", do_agg)
+        counts[name] = entry["metrics"]["rows"]
     return counts

@@ -28,6 +28,7 @@ PARSED_SCALARS = [
     ("singles", pa.bool_()), ("non6v6", pa.bool_()), ("short", pa.bool_()),
     ("p1", pa.string()), ("p2", pa.string()), ("winner", pa.int8()),
     ("turns", pa.int32()), ("end_type", pa.string()),
+    ("ts_ms", pa.int64()),
     ("p1_has_rating", pa.bool_()), ("p1_rpr", pa.float64()),
     ("p1_rprd", pa.float64()), ("p1_valid", pa.bool_()), ("p1_gxe", pa.float64()),
     ("p2_has_rating", pa.bool_()), ("p2_rpr", pa.float64()),

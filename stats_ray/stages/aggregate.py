@@ -63,6 +63,34 @@ def _side_w(t: pa.Table, parent: np.ndarray, side: np.ndarray) -> dict[str, np.n
     return out
 
 
+def _hash_grouped(part: Dataset, keys: list[str], how: str = "sum",
+                  nbuckets: int = 128) -> Dataset:
+    """Explicit partitioned hash aggregation for high-cardinality keys.
+
+    Ray's native groupby sort-shuffles every partial row on the full key
+    tuple; for millions of distinct multi-string keys the sort dominates.
+    Instead: bucket = stable_hash(keys) % nbuckets (one small int column),
+    shuffle on the bucket only, and run the real keyed aggregation as a
+    vectorized pandas groupby inside each bucket (map_groups). Bucket count
+    bounds per-task memory; hot buckets could be salted further, but the
+    hash already spreads distinct keys uniformly."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for kcol in keys:
+            col = t[kcol].to_numpy(zero_copy_only=False)
+            h = h * np.uint64(1000003) + pd.util.hash_array(col)
+        bucket = (h % np.uint64(nbuckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns="bucket").groupby(keys, as_index=False, sort=False)
+        return g.sum() if how == "sum" else g.max()
+
+    return (part.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(agg, batch_format="pandas"))
+
+
 def _batch_counted(t: pa.Table) -> np.ndarray:
     """battle 'counted' gate: non-short AND (non-singles OR valid leads)
     (stats.ts:175-209)."""
@@ -190,8 +218,7 @@ def _explode_movesets(t: pa.Table) -> pa.Table:
 def moveset_stats(parsed: Dataset) -> Dataset:
     part = parsed.map_batches(_explode_movesets, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    agg = part.groupby(["format", "species", "kind", "key"]).aggregate(
-        *[Sum(m, alias_name=m) for m in _W])
+    agg = _hash_grouped(part, ["format", "species", "kind", "key"])
     return agg.map_batches(
         _unpivot_cutoffs(["format", "species", "kind", "key"],
                          {"weight": "w"}),
@@ -294,8 +321,7 @@ def _explode_encounters(t: pa.Table) -> pa.Table:
 def encounter_stats(parsed: Dataset) -> Dataset:
     part = parsed.map_batches(_explode_encounters, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    agg = part.groupby(["format", "species", "opponent", "outcome"]).aggregate(
-        *[Sum(m, alias_name=m) for m in _W])
+    agg = _hash_grouped(part, ["format", "species", "opponent", "outcome"])
     return agg.map_batches(
         _unpivot_cutoffs(["format", "species", "opponent", "outcome"],
                          {"weight": "w"}),
@@ -354,8 +380,7 @@ def _explode_teammates(t: pa.Table) -> pa.Table:
 def teammate_stats(parsed: Dataset) -> Dataset:
     part = parsed.map_batches(_explode_teammates, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    agg = part.groupby(["format", "s1", "s2"]).aggregate(
-        *[Sum(m, alias_name=m) for m in _W])
+    agg = _hash_grouped(part, ["format", "s1", "s2"])
     return agg.map_batches(
         _unpivot_cutoffs(["format", "s1", "s2"], {"weight": "w"}),
         batch_format="pyarrow")
@@ -440,9 +465,7 @@ def stalliness_stats(parsed: Dataset) -> Dataset:
     histogram reconstruction exact while staying aggregate-sized at scale."""
     part = parsed.map_batches(_explode_stalliness, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    agg = part.groupby(["format", "value"]).aggregate(
-        Sum("count", alias_name="count"),
-        *[Sum(m, alias_name=m) for m in _W])
+    agg = _hash_grouped(part, ["format", "value"])
     return agg.map_batches(
         _unpivot_cutoffs(["format", "value"], {"weight": "w"}, ["count"]),
         batch_format="pyarrow")
@@ -478,9 +501,7 @@ def _explode_unique(t: pa.Table) -> pa.Table:
 def _per_player_max(parsed: Dataset) -> Dataset:
     part = parsed.map_batches(_explode_unique, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    return part.groupby(["format", "species", "player"]).aggregate(
-        Max("r", alias_name="r"), Max("g", alias_name="g"),
-        *[Max(m, alias_name=m) for m in _W])
+    return _hash_grouped(part, ["format", "species", "player"], how="max")
 
 
 def unique_player_rollup(parsed: Dataset) -> Dataset:
@@ -503,6 +524,113 @@ def unique_player_rollup(parsed: Dataset) -> Dataset:
         _unpivot_cutoffs(["format", "species"], {"sum_max_weight": "sw"},
                          ["n_players", "real_players"]),
         batch_format="pyarrow")
+
+
+def mono_usage_stats(parsed: Dataset, fmt: str = "gen9monotype") -> Dataset:
+    """F1 shard semantics for the monotype format: updateStats is gated on
+    the *player's team* carrying the shard tag (stats.ts:155-166); one format
+    fans out into one aggregation per mono<type> shard
+    (workflows/smogon/stats.ts:110-121)."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        keep = _col(t, "format") == fmt
+        t = t.filter(pa.array(keep))
+        if len(t) == 0:
+            cols = {"tag": pd.Series(dtype=object),
+                    "species": pd.Series(dtype=object),
+                    "usage_raw": pd.Series(dtype=np.int64)}
+            for k in _CUTS:
+                cols[f"uw{k}"] = pd.Series(dtype=np.float64)
+            return _pt(pd.DataFrame(cols))
+        parent, flat = _flat_slots(t)
+        side = flat.field("side").to_numpy()
+        species = flat.field("species").to_numpy(zero_copy_only=False)
+        short = _col(t, "short")[parent]
+        ns = (~short).astype(np.int64)
+        w = _side_w(t, parent, side)
+
+        # player-side mono tags, joined to that side's slots
+        frames = []
+        for j, sd in enumerate(("p1", "p2")):
+            tags = t[f"{sd}_tags"].combine_chunks()
+            tpar = pc.list_parent_indices(tags).to_numpy().astype(np.int64)
+            tval = tags.flatten().to_numpy(zero_copy_only=False)
+            mono = np.char.startswith(tval.astype(str), "mono")
+            tpar, tval = tpar[mono], tval[mono]
+            # battle -> its mono tags; slots of this side explode per tag
+            smask = side == (j + 1)
+            sl_par = parent[smask]
+            sl_species = species[smask]
+            sl_ns = ns[smask]
+            sl_w = {k: w[f"w{k}"][smask] for k in _CUTS}
+            # build (slot x tag) pairs via searchsorted on battle index
+            order = np.argsort(tpar, kind="stable")
+            tpar_s, tval_s = tpar[order], tval[order]
+            starts = np.searchsorted(tpar_s, sl_par, side="left")
+            ends = np.searchsorted(tpar_s, sl_par, side="right")
+            counts = ends - starts
+            rep = np.repeat(np.arange(len(sl_par)), counts)
+            tag_idx = np.concatenate(
+                [np.arange(s, e) for s, e in zip(starts, ends)]) \
+                if len(sl_par) else np.array([], dtype=np.int64)
+            cols = {"tag": tval_s[tag_idx], "species": sl_species[rep],
+                    "usage_raw": sl_ns[rep]}
+            for k in _CUTS:
+                cols[f"uw{k}"] = sl_ns[rep] * sl_w[k][rep]
+            frames.append(pd.DataFrame(cols))
+        df = pd.concat(frames, ignore_index=True)
+        out = df.groupby(["tag", "species"], as_index=False, sort=False).sum()
+        return _pt(out)
+
+    part = parsed.map_batches(_explode, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    agg = part.groupby(["tag", "species"]).aggregate(
+        Sum("usage_raw", alias_name="usage_raw"),
+        *[Sum(f"uw{k}", alias_name=f"uw{k}") for k in _CUTS])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        frames = []
+        for k in _CUTS:
+            sub = df[["tag", "species", "usage_raw"]].copy()
+            sub["cutoff"] = np.int32(cutoffs_for(fmt)[k])
+            sub["usage_weighted"] = df[f"uw{k}"].to_numpy()
+            frames.append(sub)
+        out = pd.concat(frames, ignore_index=True)
+        return _pt(out[["tag", "cutoff", "species", "usage_raw",
+                        "usage_weighted"]])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rating_percentile(parsed: Dataset, q: float = 0.9) -> Dataset:
+    """A15: per-format rating percentile (tools/stats `cutoff` command) —
+    nearest-rank over both players' ratings where present.
+
+    Group sizes are bounded by rated battles per format; at corpus scale
+    switch the exact rank for a mergeable quantile sketch."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        fmt = _col(t, "format")
+        frames = []
+        for side in ("p1", "p2"):
+            has = _col(t, f"{side}_has_rating")
+            rpr = _col(t, f"{side}_rpr").astype(np.float64)
+            frames.append(pd.DataFrame({"format": fmt[has], "rpr": rpr[has]}))
+        return _pt(pd.concat(frames, ignore_index=True))
+
+    rows = parsed.map_batches(_explode, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+
+    def _pct(df: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(df["rpr"].to_numpy())
+        n = len(vals)
+        idx = max(0, int(np.ceil(q * n)) - 1)  # nearest-rank (1-based ceil)
+        return pd.DataFrame({"format": [df["format"].iloc[0]],
+                             "n_ratings": [n],
+                             "percentile": [float(vals[idx])]})
+
+    return rows.groupby("format").map_groups(_pct, batch_format="pandas")
 
 
 def viability_stats(parsed: Dataset) -> Dataset:

@@ -44,6 +44,18 @@ class ParseError(ValueError):
     pass
 
 
+def _ts_ms(ts: str | None) -> int:
+    """'YYYY-MM-DDTHH:MM:SSZ' -> epoch ms (binary.ts:159 analogue)."""
+    if not ts:
+        return 0
+    import datetime
+    try:
+        dt = datetime.datetime.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")
+        return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    except ValueError:
+        return 0
+
+
 def canonicalize_format(fmt: str) -> str:
     """util.ts:260-275 (subset relevant to modern format ids)."""
     fmt = to_id(fmt)
@@ -357,6 +369,7 @@ class ParseBattles:
             cols["winner"].append(b["winner"])
             cols["turns"].append(turns)
             cols["end_type"].append(b["end_type"])
+            cols["ts_ms"].append(_ts_ms(doc.get("timestamp")))
             cuts = dex.cutoffs_for(fmt)
             cutoffs[i] = cuts
             for k in range(4):

@@ -1,0 +1,80 @@
+"""Resumable job checkpointing (S4: logs/src/storage.ts:97-160 analogue).
+
+Filesystem-as-database of completed work units: every pipeline stage that
+writes a Parquet partition records a manifest entry with lineage (inputs,
+code version, config) and metrics (rows, wall seconds). On restart, done
+partitions are skipped; writes go to a temp dir and are renamed into place
+so a crash mid-write never leaves a partition marked complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+
+class Manifest:
+    """JSON-lines manifest of completed partitions at <root>/manifest.jsonl."""
+
+    def __init__(self, root: str, lineage: dict | None = None):
+        self.root = root
+        self.path = os.path.join(root, "manifest.jsonl")
+        self.lineage = lineage or {}
+        os.makedirs(root, exist_ok=True)
+        self._done: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        e = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn write of the final line
+                    if e.get("lineage") == self.lineage:
+                        self._done[e["key"]] = e
+
+    def done(self, key: str) -> bool:
+        return key in self._done
+
+    def entries(self) -> dict[str, dict]:
+        return dict(self._done)
+
+    def mark(self, key: str, **metrics) -> None:
+        e = {"key": key, "lineage": self.lineage, "ts": time.time(),
+             "metrics": metrics}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(e) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._done[key] = e
+
+    def partition_dir(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def run(self, key: str, fn) -> dict:
+        """Execute fn(out_dir) for a partition unless already done.
+
+        fn writes into a scratch dir; on success the scratch dir is renamed
+        to the final partition dir and the manifest entry is appended.
+        Returns the manifest entry."""
+        if self.done(key):
+            return self._done[key]
+        final = self.partition_dir(key)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        shutil.rmtree(final, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.time()
+        metrics = fn(tmp) or {}
+        os.replace(tmp, final) if not os.path.isdir(final) else None
+        if os.path.isdir(tmp):  # os.replace on dirs fails if final exists
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+        metrics["wall_sec"] = round(time.time() - t0, 3)
+        self.mark(key, **metrics)
+        return self._done[key]
