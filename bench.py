@@ -45,17 +45,48 @@ def run_bench() -> dict:
     corpus = synth.ensure_corpus(sf_dir)  # untimed, cached
     n_battles = ray.data.read_parquet(f"{corpus}/battles").count()  # warms cache
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stats_ray.stages import aggregate as agg
+
     queries: dict[str, float] = {}
     t_all = time.time()
 
+    # 1) parse once into the object store (the routed-parquet sink is the
+    #    flagship/resume path — run_flagship — but for throughput the
+    #    aggregates consume the materialized blocks directly).
     t0 = time.time()
-    parsed = pl.parse_pipeline(corpus).materialize()
-    queries["parse"] = round(time.time() - t0, 3)
+    routed = pl.parse_pipeline(corpus).materialize()
+    queries["parse_route"] = round(time.time() - t0, 3)
 
-    for name, fn in pl.AGG_FAMILIES.items():
-        t0 = time.time()
-        fn(parsed).count()
-        queries[name] = round(time.time() - t0, 3)
+    # 2) every aggregate family concurrently: one fused hash shuffle for the
+    #    4 high-cardinality families, a shared per-player pass for
+    #    unique+viability, native groupbys for the small keys. Concurrent
+    #    executions keep the cluster saturated instead of paying each
+    #    stage's latency serially.
+    t0 = time.time()
+
+    def run_fused():
+        fused = agg.fused_highcard(routed).materialize()
+        return {n: split(fused).count() for n, split in agg.FUSED_SPLITS.items()}
+
+    def run_unique():
+        uniq, viab = agg.unique_and_viability(routed)
+        return {"unique": uniq.count(), "viability": viab.count()}
+
+    jobs = {
+        "fused(movesets+encounters+teammates+stalliness)": run_fused,
+        "unique+viability": run_unique,
+        "usage": lambda: {"usage": agg.usage_stats(routed).count()},
+        "leads": lambda: {"leads": agg.lead_stats(routed).count()},
+        "battles": lambda: {"battles": agg.battle_counts(routed).count()},
+        "metagame": lambda: {"metagame": agg.metagame_stats(routed).count()},
+    }
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futs = {n: ex.submit(fn) for n, fn in jobs.items()}
+        for n, fu in futs.items():
+            fu.result()
+            queries[n] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_all, 3)
     return {
@@ -63,14 +94,16 @@ def run_bench() -> dict:
         "value": total, "unit": "sec", "queries": queries,
         "sf": synth.sf_of_dir(sf_dir), "num_cpus": ncpus,
         "battles": n_battles,
-        "battles_per_sec": round(n_battles / queries["parse"], 1),
+        "battles_per_sec": round(n_battles / queries["parse_route"], 1),
         "pipeline_battles_per_sec": round(n_battles / total, 1),
     }
 
 
 def run_scaling() -> dict:
-    """Same input, two parallelism levels in fresh processes (N vs 4N)."""
-    lo, hi = 8, 32
+    """Same input, two parallelism levels in fresh processes (N vs 4N).
+    Override the pair with BENCH_SCALE_LO/BENCH_SCALE_HI."""
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
     out = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))

@@ -1,0 +1,148 @@
+"""CLI entry points — the `process <worker>` analogue (SURVEY §2.11,
+reference `process:65-125`). Each subcommand owns its Ray session (guarded
+init); library code never calls ray.init.
+
+Usage:
+  python -m stats_ray.cli stats  --corpus DIR --out DIR [--families a,b]
+  python -m stats_ray.cli reports --corpus DIR --out DIR [--formats f1,f2]
+  python -m stats_ray.cli anon   --corpus DIR --out DIR [--salt S] [--rate R]
+  python -m stats_ray.cli db     --corpus DIR --out DIR
+  python -m stats_ray.cli tiers  --corpus DIR --out FILE
+  python -m stats_ray.cli synth  --sf 0.01 [--n N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _ray():
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def cmd_stats(args):
+    _ray()
+    from .pipelines.usage import run_flagship
+    counts = run_flagship(args.corpus, args.out,
+                          families=args.families.split(",") if args.families
+                          else None)
+    print(json.dumps(counts))
+
+
+def cmd_reports(args):
+    _ray()
+    from .pipelines.usage import parse_pipeline, render_reports
+    parsed = parse_pipeline(args.corpus).materialize()
+    written = render_reports(parsed, args.out,
+                             formats=args.formats.split(",") if args.formats
+                             else None)
+    print(json.dumps({f"{k[0]}-{k[1]}": sorted(v) for k, v in written.items()}))
+
+
+def cmd_anon(args):
+    _ray()
+    from .stages.anon import anonymize_pipeline, ordinal_rename
+    import ray.data
+    ds = anonymize_pipeline(args.corpus, salt=args.salt, rate=args.rate)
+    ds = ordinal_rename(ds)
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": ray.data.read_parquet(args.out).count()}))
+
+
+def cmd_db(args):
+    _ray()
+    import ray.data
+    from .pipelines.usage import parse_pipeline
+    from .stages.binary import binary_db
+    parsed = parse_pipeline(args.corpus)
+    binary_db(parsed, args.out)
+    print(json.dumps({"rows": ray.data.read_parquet(args.out).count()}))
+
+
+def cmd_tiers(args):
+    _ray()
+    from .dex import cutoffs_for
+    from .pipelines.usage import parse_pipeline
+    from .stages.tiers import TIER_FORMATS, monthly_reports, tier_update_report
+    parsed = parse_pipeline(args.corpus).materialize()
+    reports = monthly_reports(parsed)
+    out = tier_update_report(reports, {},
+                             {f: cutoffs_for(f)[2] for _, f in TIER_FORMATS})
+    with open(args.out, "w") as f:
+        f.write(out)
+    print(json.dumps({"bytes": len(out)}))
+
+
+def cmd_synth(args):
+    _ray()
+    from . import synth
+    if args.n:
+        synth.build_corpus(args.out or synth.corpus_dir(args.sf), args.n)
+        print(json.dumps({"dir": args.out or synth.corpus_dir(args.sf),
+                          "n": args.n}))
+    else:
+        d = synth.ensure_corpus(args.sf)
+        print(json.dumps({"dir": d}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="stats_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("stats")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--families", default=None)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("reports")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--formats", default=None)
+    sp.set_defaults(fn=cmd_reports)
+
+    sp = sub.add_parser("anon")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--salt", default=None)
+    sp.add_argument("--rate", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_anon)
+
+    sp = sub.add_parser("db")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_db)
+
+    sp = sub.add_parser("tiers")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_tiers)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--sf", default="0.001")
+    sp.add_argument("--n", type=int, default=None)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    try:
+        args.fn(args)
+    finally:
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,14 +17,17 @@ All tables here are plain dicts/sets — broadcast once per enrich actor
 
 from __future__ import annotations
 
+import functools
 import re
 
 # ---------------------------------------------------------------------------
-# toID — the universal key normalizer (reference: logs/src/config.ts:18-22)
+# toID — the universal key normalizer (reference: logs/src/config.ts:18-22).
+# Memoized: the same display names recur across every battle in a batch.
 
 _NON_ID = re.compile(r"[^a-z0-9]")
 
 
+@functools.lru_cache(maxsize=65536)
 def to_id(s: str) -> str:
     return _NON_ID.sub("", s.lower())
 

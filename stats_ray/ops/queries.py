@@ -196,6 +196,34 @@ def _q_fingerprints(sf_dir: str):
 _SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS md5 FROM documents"
 
 
+def _q_events_sessions(sf_dir: str):
+    from .relational import events_sessionize
+    df = _pd(events_sessionize(sf_dir))
+    df["start_us"] = df.pop("start_ts").astype("datetime64[us]").astype("int64")
+    df["end_us"] = df.pop("end_ts").astype("datetime64[us]").astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    df["session_id"] = df["session_id"].astype("int64")
+    return _r4(df, ["sum_value"])
+
+
+_SQL_EVENTS_SESSIONS = """
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+y AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+FROM y GROUP BY 1, 2
+"""
+
+
 # --- rows-only (non-SQL-expressible) -----------------------------------------
 
 def _q_minhash(sf_dir: str):
@@ -226,6 +254,7 @@ QUERIES = {
     "orders_by_nation": _q_orders_by_nation,
     "events_daily": _q_events_daily,
     "events_user_stats": _q_events_users,
+    "events_sessionize": _q_events_sessions,
     "dedup_exact": _q_dedup_exact,
     "doc_token_stats": _q_token_stats,
     "doc_quality": _q_quality,
@@ -244,6 +273,7 @@ ORACLES = {
     "orders_by_nation": _SQL_ORDERS_BY_NATION,
     "events_daily": _SQL_EVENTS_DAILY,
     "events_user_stats": _SQL_EVENTS_USERS,
+    "events_sessionize": _SQL_EVENTS_SESSIONS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_token_stats": _SQL_TOKEN_STATS,
     "doc_quality": _SQL_QUALITY,

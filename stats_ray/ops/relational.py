@@ -11,7 +11,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _t(sf_dir: str, name: str, columns=None) -> Dataset:
@@ -113,6 +113,29 @@ def events_user_stats(sf_dir: str) -> Dataset:
         })
 
     return per_user.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Session windows over the event log: per user, a new session starts
+    when the gap to the previous event exceeds gap_minutes. Partition by
+    user (hash shuffle), sort within group, scan — the Ray-Data shape for
+    event-time windowing (no watermarks needed for batch logs).
+
+    Returns (user_id, session_id, n_events, start_ts, end_ts, sum_value)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gap.cumsum().astype("int64")
+        out = (g.assign(session_id=sid)
+               .groupby("session_id", as_index=False)
+               .agg(n_events=("value", "size"), start_ts=("ts", "min"),
+                    end_ts=("ts", "max"), sum_value=("value", "sum")))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 def price_percentiles(sf_dir: str) -> pd.DataFrame:

@@ -40,15 +40,17 @@ def filter_formats(ds: Dataset) -> Dataset:
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster, leaving headroom
-    for the read and shuffle stages."""
+def _default_concurrency() -> int:
+    """Fixed actor-pool size: ~7/8 of the cluster (proportional headroom for
+    read/shuffle tasks at every cluster size). A fixed pool starts every
+    actor immediately — the autoscaling (1, N) ramp was the dominant cost at
+    high CPU counts."""
     try:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (1, max(2, cpus))
+    return max(2, cpus - max(1, cpus // 8))
 
 
 def parse_pipeline(corpus_dir: str, *, strict: bool = True,
@@ -78,6 +80,23 @@ AGG_FAMILIES = {
     "viability": agg.viability_stats,
     "stalliness": agg.stalliness_stats,
 }
+
+def all_stats(parsed: Dataset) -> dict[str, object]:
+    """Compute every aggregate family with the minimal number of shuffles:
+    one fused hash-bucket exchange for the 4 high-cardinality families, one
+    shared per-player pass for unique+viability, native groupbys (run
+    concurrently by the caller) for the small-key families.
+
+    Returns {family: Dataset}; the fused base is materialized once."""
+    fused = agg.fused_highcard(parsed).materialize()
+    out = {name: split(fused) for name, split in agg.FUSED_SPLITS.items()}
+    uniq, viab = agg.unique_and_viability(parsed)
+    out["unique"] = uniq
+    out["viability"] = viab
+    for name in ("usage", "leads", "battles", "metagame"):
+        out[name] = AGG_FAMILIES[name](parsed)
+    return out
+
 
 # families feeding the report renderers (stages.reports.collect_view)
 REPORT_FAMILIES = ["usage", "movesets", "leads", "battles", "encounters",

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Sum
 
 from ..dex import cutoffs_for
 
@@ -37,7 +37,10 @@ INVERSE_OUTCOMES = np.array([1, 0, 2, 4, 3, 5, 7, 6, 9, 8, 11, 10, 12], dtype=np
 
 _CUTS = range(4)
 _W = [f"w{k}" for k in _CUTS]
-_EXPLODE_BATCH = 2048
+# combine window: bigger batches dedupe the bounded-cardinality kinds harder
+# before the exchange (diminishing returns past ~6k battles; the ~unique
+# spread/stats keys floor the ratio at ~2 rows/slot)
+_EXPLODE_BATCH = 6144
 
 
 def _col(t: pa.Table, name: str) -> np.ndarray:
@@ -504,12 +507,7 @@ def _per_player_max(parsed: Dataset) -> Dataset:
     return _hash_grouped(part, ["format", "species", "player"], how="max")
 
 
-def unique_player_rollup(parsed: Dataset) -> Dataset:
-    """Two-level exact dedup (A9): hash-shuffled max per (.., player), then a
-    per-species count/sum. The per-player state never lives in one worker's
-    heap (the reference's unbounded-memory concern, FAQ.md:78-90)."""
-    per_player = _per_player_max(parsed)
-
+def _rollup_unique(per_player: Dataset) -> Dataset:
     def _count(df: pd.DataFrame) -> pd.DataFrame:
         row = {"format": [df["format"].iloc[0]],
                "species": [df["species"].iloc[0]],
@@ -524,6 +522,122 @@ def unique_player_rollup(parsed: Dataset) -> Dataset:
         _unpivot_cutoffs(["format", "species"], {"sum_max_weight": "sw"},
                          ["n_players", "real_players"]),
         batch_format="pyarrow")
+
+
+def unique_player_rollup(parsed: Dataset) -> Dataset:
+    """Two-level exact dedup (A9): hash-shuffled max per (.., player), then a
+    per-species count/sum. The per-player state never lives in one worker's
+    heap (the reference's unbounded-memory concern, FAQ.md:78-90)."""
+    return _rollup_unique(_per_player_max(parsed))
+
+
+# ---------------------------------------------------------------------------
+# fused high-cardinality pass: ONE explode + ONE hash-bucket shuffle for the
+# four big families (movesets, encounters, teammates, stalliness). Generic
+# row: (family, format, k1, k2, k3, i1, w0..w3). Collapsing four all-to-all
+# exchanges into one removes most fixed stage latency and keeps every
+# shuffle byte useful — the per-family shape is restored from the (small)
+# aggregated output.
+
+def _explode_fused(t: pa.Table) -> pa.Table:
+    frames = []
+
+    m = _explode_movesets(t).to_pandas()
+    m = m.rename(columns={"species": "k1", "kind": "k2", "key": "k3"})
+    m["family"] = "movesets"
+    m["i1"] = 0
+    frames.append(m)
+
+    e = _explode_encounters(t).to_pandas()
+    e = e.rename(columns={"species": "k1", "opponent": "k2"})
+    e["k3"] = e.pop("outcome").astype(str)
+    e["family"] = "encounters"
+    e["i1"] = 0
+    frames.append(e)
+
+    tm = _explode_teammates(t).to_pandas()
+    tm = tm.rename(columns={"s1": "k1", "s2": "k2"})
+    tm["k3"] = ""
+    tm["family"] = "teammates"
+    tm["i1"] = 0
+    frames.append(tm)
+
+    st = _explode_stalliness(t).to_pandas()
+    st["k1"] = st.pop("value").map(repr)  # exact float roundtrip
+    st["k2"] = ""
+    st["k3"] = ""
+    st = st.rename(columns={"count": "i1"})
+    st["family"] = "stalliness"
+    frames.append(st)
+
+    cols = ["family", "format", "k1", "k2", "k3", "i1"] + _W
+    df = pd.concat([f[cols] for f in frames], ignore_index=True)
+    return _pt(df)
+
+
+def fused_highcard(parsed: Dataset, nbuckets: int = 128) -> Dataset:
+    part = parsed.map_batches(_explode_fused, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+    return _hash_grouped(part, ["family", "format", "k1", "k2", "k3"],
+                         nbuckets=nbuckets)
+
+
+def _split_family(fused: Dataset, family: str, reshape) -> Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["family"], family)
+        return reshape(t.filter(mask))
+    return fused.map_batches(fn, batch_format="pyarrow")
+
+
+def split_movesets(fused: Dataset) -> Dataset:
+    def reshape(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            ["family", "format", "species", "kind", "key", "i1"] + _W)
+        return _unpivot_cutoffs(["format", "species", "kind", "key"],
+                                {"weight": "w"})(t)
+    return _split_family(fused, "movesets", reshape)
+
+
+def split_encounters(fused: Dataset) -> Dataset:
+    def reshape(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.rename(columns={"k1": "species", "k2": "opponent"})
+        df["outcome"] = df["k3"].astype(np.int8)
+        out = _unpivot_cutoffs(["format", "species", "opponent", "outcome"],
+                               {"weight": "w"})(_pt(df))
+        return out
+    return _split_family(fused, "encounters", reshape)
+
+
+def split_teammates(fused: Dataset) -> Dataset:
+    def reshape(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["family", "format", "s1", "s2", "k3", "i1"] + _W)
+        return _unpivot_cutoffs(["format", "s1", "s2"], {"weight": "w"})(t)
+    return _split_family(fused, "teammates", reshape)
+
+
+def split_stalliness(fused: Dataset) -> Dataset:
+    def reshape(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["value"] = df["k1"].map(float)
+        df = df.rename(columns={"i1": "count"})
+        return _unpivot_cutoffs(["format", "value"], {"weight": "w"},
+                                ["count"])(_pt(df))
+    return _split_family(fused, "stalliness", reshape)
+
+
+FUSED_SPLITS = {
+    "movesets": split_movesets,
+    "encounters": split_encounters,
+    "teammates": split_teammates,
+    "stalliness": split_stalliness,
+}
+
+
+def unique_and_viability(parsed: Dataset) -> tuple[Dataset, Dataset]:
+    """Share the per-player max shuffle between A9 and A10."""
+    per_player = _per_player_max(parsed).materialize()
+    return (_rollup_unique(per_player), _rollup_viability(per_player))
 
 
 def mono_usage_stats(parsed: Dataset, fmt: str = "gen9monotype") -> Dataset:
@@ -633,13 +747,7 @@ def rating_percentile(parsed: Dataset, q: float = 0.9) -> Dataset:
     return rows.groupby("format").map_groups(_pct, batch_format="pandas")
 
 
-def viability_stats(parsed: Dataset) -> Dataset:
-    """A10: GXE order statistics [n, max, p99, p80] per species from the
-    per-player max-GXE dedup (util.ts:311-321). GXE is cutoff-independent,
-    so the order statistics are computed once per (format, species) and
-    replicated across the cutoff schedule."""
-    per_player = _per_player_max(parsed)
-
+def _rollup_viability(per_player: Dataset) -> Dataset:
     def _viab(df: pd.DataFrame) -> pd.DataFrame:
         gxes = np.sort(df["g"].to_numpy()[df["g"].to_numpy() >= 0])[::-1]
         n = len(gxes)
@@ -671,3 +779,11 @@ def viability_stats(parsed: Dataset) -> Dataset:
                         "v_p99", "v_p80"]])
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def viability_stats(parsed: Dataset) -> Dataset:
+    """A10: GXE order statistics [n, max, p99, p80] per species from the
+    per-player max-GXE dedup (util.ts:311-321). GXE is cutoff-independent,
+    so the order statistics are computed once per (format, species) and
+    replicated across the cutoff schedule."""
+    return _rollup_viability(_per_player_max(parsed))

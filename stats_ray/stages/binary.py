@@ -170,7 +170,6 @@ def species_counts_from_db(db_dir: str) -> Dataset:
     """A14 analogue: dense per-ordinal usage counts recomputed from the
     binary db (groupby over decoded rows)."""
     import ray.data
-    from ray.data.aggregate import Count
 
     ds = ray.data.read_parquet(db_dir)
     decoded = ds.map_batches(DecodeBinary, batch_format="pyarrow",

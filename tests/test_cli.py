@@ -1,0 +1,36 @@
+"""CLI surface: subcommands run end-to-end in a subprocess (own Ray session)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(args, timeout=300):
+    r = subprocess.run([sys.executable, "-m", "stats_ray.cli", *args],
+                       capture_output=True, text=True, timeout=timeout,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_cli_stats_and_reports(small_corpus, tmp_path):
+    out = _run(["stats", "--corpus", small_corpus,
+                "--out", str(tmp_path / "flag"),
+                "--families", "usage,battles"])
+    assert out["usage"] > 0 and out["battles"] > 0
+
+    rep = _run(["reports", "--corpus", small_corpus,
+                "--out", str(tmp_path / "rep"), "--formats", "gen9ou"])
+    assert len(rep) == 4
+
+
+@pytest.mark.slow
+def test_cli_db_and_anon(small_corpus, tmp_path):
+    db = _run(["db", "--corpus", small_corpus, "--out", str(tmp_path / "db")])
+    assert db["rows"] > 0
+    an = _run(["anon", "--corpus", small_corpus,
+               "--out", str(tmp_path / "anon"), "--rate", "0.5"])
+    assert 0 < an["rows"] < 400
