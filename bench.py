@@ -113,7 +113,7 @@ def run_scaling() -> dict:
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (fresh ray.init at 8 vs 32 CPUs)",
+        "metric": f"scaling efficiency (fresh ray.init at {lo} vs {hi} CPUs)",
         "sf": out[lo]["sf"], "battles": out[lo]["battles"],
         f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
         f"battles_per_sec_{lo}": out[lo]["pipeline_battles_per_sec"],

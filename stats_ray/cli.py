@@ -84,6 +84,12 @@ def cmd_tiers(args):
     print(json.dumps({"bytes": len(out)}))
 
 
+def cmd_convert(args):
+    from .stages.convert import convert_reports
+    out = convert_reports(args.reports, args.out, split=args.split)
+    print(json.dumps({"converted": len(out)}))
+
+
 def cmd_synth(args):
     _ray()
     from . import synth
@@ -128,6 +134,12 @@ def main(argv=None):
     sp.add_argument("--corpus", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_tiers)
+
+    sp = sub.add_parser("convert")
+    sp.add_argument("--reports", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--split", action="store_true")
+    sp.set_defaults(fn=cmd_convert)
 
     sp = sub.add_parser("synth")
     sp.add_argument("--sf", default="0.001")

@@ -241,6 +241,19 @@ def _q_lang_id(sf_dir: str):
     return _pd(lang_id(sf_dir))
 
 
+def _q_approx_users(sf_dir: str):
+    """HLL approximate distinct users per event_type (mergeable sketch —
+    rows-only: approximate by design; accuracy asserted in tests)."""
+    import ray.data
+
+    from .sketch import approx_distinct
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    df = approx_distinct(ds, "event_type", "user_id")
+    df["approx_distinct"] = df["approx_distinct"].round(1)
+    return df
+
+
 def _q_lsh_topk(sf_dir: str):
     from .ann import lsh_bucketed_topk
     df = lsh_bucketed_topk(sf_dir)
@@ -265,6 +278,7 @@ QUERIES = {
     "simhash_dup_pairs": _q_simhash,
     "doc_lang_id": _q_lang_id,
     "ann_lsh_topk": _q_lsh_topk,
+    "events_approx_users": _q_approx_users,
 }
 
 ORACLES = {

@@ -196,24 +196,30 @@ class AnonymizeBattles:
     doc), n_tok, leaks (verifier hit count)."""
 
     def __init__(self, salt: str | None = None, rate: float = 1.0,
-                 verify: bool = True):
+                 verify: bool = True, public_only: bool = False):
         self.salt = salt
         self.rate = rate
         self.verify = verify
+        self.public_only = public_only  # F3: skip roomid *pw (anon.ts:95)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids = t["doc_id"].to_pylist()
         if self.rate < 1.0:
             mask = sample_mask(doc_ids, self.rate)
             t = t.filter(pa.array(mask))
-            doc_ids = t["doc_id"].to_pylist()
         docs = decode_column(t["tokens"])
-        out_docs, leaks = [], []
-        for s in docs:
+        keep, out_docs, leaks = [], [], []
+        for i, s in enumerate(docs):
+            doc = json.loads(s)
+            if self.public_only and str(doc.get("roomid", "")).endswith("pw"):
+                continue
+            keep.append(i)
             verifier = Verifier() if self.verify else None
-            anon = anonymize_doc(json.loads(s), self.salt, verifier)
+            anon = anonymize_doc(doc, self.salt, verifier)
             out_docs.append(canonical_json(anon))
             leaks.append(len(verifier.leaks) if verifier else 0)
+        if len(keep) != len(t):
+            t = t.take(keep)
         toks = encode_strings(out_docs)
         return pa.table({
             "doc_id": t["doc_id"], "format": pa.array(

@@ -1,0 +1,65 @@
+"""Legacy-report converter (S11: the `convert` CLI, stats/convert:28-120).
+
+Walks a report fan-out directory (as written by pipelines.render_reports),
+re-parses the legacy text reports with the S10 inverse parsers, and emits
+one unified JSON per (format, cutoff) — optionally split per Pokémon.
+Driver-side small work (reports are KBs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .reports import (parse_leads_report, parse_metagame_report,
+                      parse_usage_report)
+
+
+def convert_reports(reports_dir: str, out_dir: str,
+                    split: bool = False) -> dict[str, str]:
+    """reports_dir must contain usage/, leads/, metagame/ subdirs with
+    <format>-<cutoff>.txt files. Returns {format-cutoff: output path}."""
+    os.makedirs(out_dir, exist_ok=True)
+    usage_dir = os.path.join(reports_dir, "usage")
+    written = {}
+    for fname in sorted(os.listdir(usage_dir)):
+        if not fname.endswith(".txt"):
+            continue
+        stem = fname[:-4]
+        fmt, cutoff = stem.rsplit("-", 1)
+        unified: dict = {"format": fmt, "cutoff": int(cutoff)}
+        with open(os.path.join(usage_dir, fname)) as f:
+            u = parse_usage_report(f.read())
+        unified["battles"] = u["battles"]
+        unified["avg_weight"] = u["avg_weight"]
+        unified["pokemon"] = {
+            name: {"usage": row} for name, row in u["usage"].items()}
+
+        leads_path = os.path.join(reports_dir, "leads", fname)
+        if os.path.exists(leads_path):
+            with open(leads_path) as f:
+                lr = parse_leads_report(f.read())
+            unified["total_leads"] = lr["total_leads"]
+            for name, row in lr["leads"].items():
+                unified["pokemon"].setdefault(name, {})["lead"] = row
+
+        meta_path = os.path.join(reports_dir, "metagame", fname)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                mr = parse_metagame_report(f.read())
+            unified["metagame"] = mr
+
+        if split:
+            d = os.path.join(out_dir, stem)
+            os.makedirs(d, exist_ok=True)
+            for name, data in unified["pokemon"].items():
+                safe = "".join(c for c in name if c.isalnum())
+                with open(os.path.join(d, f"{safe}.json"), "w") as f:
+                    json.dump({"format": fmt, "cutoff": int(cutoff),
+                               "pokemon": name, **data}, f)
+            written[stem] = d
+        else:
+            path = os.path.join(out_dir, f"{stem}.json")
+            with open(path, "w") as f:
+                json.dump(unified, f)
+            written[stem] = path
+    return written

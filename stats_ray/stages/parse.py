@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from .. import dex
 from ..dex import to_id
-from ..functions.statmath import hidden_power_type, spread_and_stats
+from ..functions.statmath import hidden_power_type
 from ..functions.weights import effective_rating, gxe, weighting
 from ..schema import PARSED_SCALARS, PARSED_SCHEMA, MATCHUP_T, SLOT_T
 from ..tokens import decode_column
@@ -348,6 +348,7 @@ class ParseBattles:
         n = len(rows)
         cols: dict[str, list] = {name: [] for name, _ in PARSED_SCALARS}
         p1_tags, p2_tags, slots_col, matchups_col = [], [], [], []
+        mon_meta: list[tuple[dict, dict]] = []  # (mon, slot row) for batch math
 
         # numpy staging for vectorized weight math
         has_r = np.zeros((n, 2), dtype=bool)
@@ -413,9 +414,7 @@ class ParseBattles:
                 (p1_tags if j == 0 else p2_tags).append(tags)
                 player = to_id(doc.get(side) or "")
                 for k, (mon, st) in enumerate(zip(team, b["mons"][side])):
-                    spread, statsk = spread_and_stats(
-                        mon["species"], mon["nature"], mon["ivs"], mon["evs"],
-                        mon["level"])
+                    # spread/stats keys are filled in one vectorized pass below
                     slots.append({
                         "side": j + 1, "slot": k, "player": player,
                         "species": mon["species"], "item": mon["item"],
@@ -424,14 +423,30 @@ class ParseBattles:
                         "tera": mon["tera"],
                         "move1": mon["moves"][0], "move2": mon["moves"][1],
                         "move3": mon["moves"][2], "move4": mon["moves"][3],
-                        "spread": spread, "stats": statsk,
+                        "spread": "", "stats": "",
                         "turns_out": st["turnsOut"], "kos": st["kos"],
                     })
+                    mon_meta.append((mon, slots[-1]))
             slots_col.append(slots)
             matchups_col.append([
                 {"idx": k, "s1": m[0], "s2": m[1], "outcome": m[2]}
                 for k, m in enumerate(b["matchups"])
             ])
+
+        # vectorized spread/stat keys across every mon in the batch (M14)
+        if mon_meta:
+            from ..functions.statmath import STAT_ORDER, spread_and_stats_batch
+            m_iv = np.array([[m["ivs"][s] for s in STAT_ORDER]
+                             for m, _ in mon_meta], dtype=np.int64)
+            m_ev = np.array([[m["evs"][s] for s in STAT_ORDER]
+                             for m, _ in mon_meta], dtype=np.int64)
+            m_lv = np.array([m["level"] for m, _ in mon_meta], dtype=np.int64)
+            spreads, statkeys = spread_and_stats_batch(
+                [m["species"] for m, _ in mon_meta],
+                [m["nature"] for m, _ in mon_meta], m_iv, m_ev, m_lv)
+            for (arr_s, arr_k, (_, row)) in zip(spreads, statkeys, mon_meta):
+                row["spread"] = arr_s
+                row["stats"] = arr_k
 
         # vectorized weights + gxe (Cody erf; stats.ts:245-270, util.ts:410-419)
         for j, side in enumerate(("p1", "p2")):
