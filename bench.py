@@ -101,9 +101,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Same input, two parallelism levels in fresh processes (N vs 4N).
-    Override the pair with BENCH_SCALE_LO/BENCH_SCALE_HI."""
-    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
-    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
+    Default pair 4 -> 16: on this single-socket sandbox the 8 -> 32 pair
+    saturates the one shared memory subsystem (see BASELINE.md, where both
+    pairs are reported). Override with BENCH_SCALE_LO/BENCH_SCALE_HI."""
+    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
     out = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
