@@ -45,7 +45,7 @@ from .functions.statmath import hidden_power_type, spread_and_stats
 from .stages.classify import classify_team
 from .tokens import canonical_json, encode_strings
 
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 DEFAULT_BASE = "/tmp/stats_ray_corpus"
 N_BATTLES = {"0.001": 2000, "0.01": 20000, "0.1": 200000}
 
@@ -250,6 +250,10 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
         lines.append(f"|turn|{t}")
         to1[a1] += 1
         to2[a2] += 1
+        if rng.random() < 0.08:
+            # |replace| re-identifies the active mon (parser.ts:206-210);
+            # no matchup/turnsOut effect — exercises identify on the oracle path
+            lines.append(_switch_line("p1", team1_raw[a1], "replace"))
         last = t == turns
         ops = ["stay", "stay", "stay", "switch1", "switch2", "double_switch",
                "uturn1", "forced1", "forced2", "enditem_forced1", "enditem_eject2"]
@@ -491,6 +495,14 @@ def gen_battle(i: int) -> dict:
     team2_raw = [_gen_mon(rng, fmt, used2, mono_type) for _ in range(n_mons)]
     team1 = [_canon_mon(m) for m in team1_raw]
     team2 = [_canon_mon(m) for m in team2_raw]
+    trunc_after_script = []
+    if rng.random() < 0.3:
+        # exercise the nickname-prefix identification path (parser.ts:358-377):
+        # protocol lines carry the full nickname, the stored set only a prefix
+        s_ix = rng.randrange(n_mons)
+        full = f"Longname{rng.randrange(1000)}xyz"
+        team1_raw[s_ix]["name"] = full
+        trunc_after_script.append((team1_raw[s_ix], full[:8]))
 
     wr = rng.random()
     winner = 1 if wr < 0.45 else (2 if wr < 0.90 else 0)
@@ -507,6 +519,8 @@ def gen_battle(i: int) -> dict:
         turns = rng.randint(1, 2) if rng.random() < 0.06 else rng.randint(3, 20)
         lines, mt, to1, to2, kos1, kos2 = _gen_script(
             rng, team1_raw, team2_raw, name1, name2, winner, turns)
+        for mon_raw, prefix in trunc_after_script:
+            mon_raw["name"] = prefix  # truncate only in the stored team JSON
         if not singles:
             # parser skips the log for non-singles formats (parser.ts:119)
             mt, to1, to2 = [], [0] * n_mons, [0] * n_mons
