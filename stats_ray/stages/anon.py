@@ -23,6 +23,7 @@ import hashlib
 import json
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
@@ -243,8 +244,8 @@ def anonymize_pipeline(corpus_dir: str, *, salt: str | None = None,
 def ordinal_rename(anon: Dataset) -> Dataset:
     """S8: rename doc_id to 'battle-<format>-<ordinal>' per format partition
     (ordinal = rank of the original doc_id within the format — deterministic).
-    NOTE: map_groups per format; at corpus scale replace with per-partition
-    counts + prefix-sum offsets to avoid single-group hotspots."""
+    Simple variant: one group per format. Fine at test scale; use
+    ordinal_rename_scaled for hot formats (gen9ou-sized groups)."""
 
     def rename(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id").reset_index(drop=True)
@@ -253,3 +254,56 @@ def ordinal_rename(anon: Dataset) -> Dataset:
         return df
 
     return anon.groupby("format").map_groups(rename, batch_format="pandas")
+
+
+def ordinal_rename_scaled(anon: Dataset, n_ranges: int = 32,
+                          sample_per_block: int = 50) -> Dataset:
+    """Scale path for S8: range-partitioned rank assignment.
+
+    A hot format (gen9ou-sized) would make the one-group-per-format rename a
+    single-task hotspot. Instead:
+
+    1. sample doc_ids -> global lexicographic cut points (driver-side, tiny);
+    2. pass 1: count rows per (format, range) — a small aggregate;
+    3. prefix-sum the counts into per-(format, range) offsets (broadcast);
+    4. pass 2: groupby (format, range) — bounded groups — sort locally and
+       assign offset + local rank.
+
+    Produces exactly the same ordinals as ordinal_rename (doc_id rank within
+    format) with no group larger than ~|format| / n_ranges."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ids = anon.map_batches(
+        lambda df: df[["doc_id"]].head(sample_per_block),
+        batch_format="pandas").to_pandas()["doc_id"]
+    cuts = sorted(ids.quantile([i / n_ranges for i in range(1, n_ranges)],
+                               interpolation="nearest").unique().tolist()) \
+        if len(ids) else []
+    cuts_ref = ray.put(cuts)
+
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        df["rng_"] = np.searchsorted(c, df["doc_id"].to_numpy(),
+                                     side="right").astype(np.int32) \
+            if c else np.int32(0)
+        return df
+
+    ranged = anon.map_batches(add_range, batch_format="pandas")
+    counts = (ranged.groupby(["format", "rng_"])
+              .aggregate(Count(alias_name="n")).to_pandas()
+              .sort_values(["format", "rng_"]))
+    counts["offset"] = counts.groupby("format")["n"].cumsum() - counts["n"]
+    offsets = {(r.format, int(r.rng_)): int(r.offset)
+               for r in counts.itertuples()}
+    off_ref = ray.put(offsets)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[(df["format"].iloc[0], int(df["rng_"].iloc[0]))]
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        fmt = df["format"].iloc[0]
+        df["doc_id"] = [f"battle-{fmt}-{off + i + 1}" for i in range(len(df))]
+        return df.drop(columns="rng_")
+
+    return ranged.groupby(["format", "rng_"]).map_groups(
+        rename, batch_format="pandas")

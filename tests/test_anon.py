@@ -99,6 +99,20 @@ def test_anonymize_pipeline_no_leaks(small_corpus):
         json.loads(s)
 
 
+def test_ordinal_rename_scaled_matches_simple(small_corpus):
+    """Range-partitioned rank assignment must reproduce the simple
+    one-group-per-format ordinals exactly."""
+    from stats_ray.stages.anon import (anonymize_pipeline, ordinal_rename,
+                                       ordinal_rename_scaled)
+    base = anonymize_pipeline(small_corpus).materialize()
+    simple = ordinal_rename(base).to_pandas()
+    scaled = ordinal_rename_scaled(base, n_ranges=8).to_pandas()
+    a = simple.sort_values("doc_id").reset_index(drop=True)
+    b = scaled.sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["n_tok"].to_numpy() == b["n_tok"].to_numpy()).all()
+
+
 def test_ordinal_rename(small_corpus):
     from stats_ray.stages.anon import anonymize_pipeline
     ds = anonymize_pipeline(small_corpus, rate=0.5)
