@@ -689,6 +689,14 @@ def oracle_sql_for(corpus: str) -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The battle oracles read the ground-truth corpus; materialize it now so
+    # the comparison works regardless of query/oracle execution order.
+    try:
+        import ray
+        if ray.is_initialized():
+            _corpus(_SF01)
+    except Exception:
+        pass  # no Ray session (e.g. static inspection) — queries() builds it
     sql = {
         "battle_passthrough": _sql_passthrough(),
         "battle_matchups": _sql_matchups(),
