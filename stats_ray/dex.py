@@ -317,6 +317,34 @@ ALL_TYPES = [
 MONOTYPE_SHARDS = ["mono" + t.lower() for t in ALL_TYPES]
 
 
+# ---------------------------------------------------------------------------
+# GenDex registration: the synthetic universe as a pluggable dex instance.
+
+from .gendex import GenDex, register as _register_dex
+
+for _sid, _spv in SPECIES.items():
+    _nm = _spv["name"]
+    _spv.setdefault("forme", _nm.split("-", 1)[1] if "-" in _nm else "")
+
+SYNTH_DEX = _register_dex(GenDex(
+    name="synth",
+    species=SPECIES, aliases=ALIASES, formes=FORMES,
+    moves=MOVES, items=ITEMS, abilities=ABILITIES, natures=NATURES,
+    mega_stones=MEGA_STONES, tables=CLASSIFIER_TABLES,
+    trapping_abilities=TRAPPING_ABILITIES, trapping_moves=TRAPPING_MOVES,
+    tag_trapping_moves=TRAPPING_MOVES, setup_abilities=SETUP_ABILITIES,
+    greater_offensive_abilities=GREATER_OFFENSIVE_ABILITIES,
+    lesser_offensive_abilities=LESSER_OFFENSIVE_ABILITIES,
+    lesser_defensive_abilities=LESSER_DEFENSIVE_ABILITIES,
+    greater_defensive_abilities=GREATER_DEFENSIVE_ABILITIES,
+    lesser_boosting_items=LESSER_BOOSTING_ITEMS,
+    greater_boosting_items=GREATER_BOOSTING_ITEMS,
+    non_singles_formats=NON_SINGLES_FORMATS,
+    non_6v6_formats=NON_6V6_FORMATS,
+    legacy=False,
+))
+
+
 def cutoffs_for(format_id: str) -> list[int]:
     return POPULAR_CUTOFFS if format_id in POPULAR_FORMATS else DEFAULT_CUTOFFS
 

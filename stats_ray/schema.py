@@ -42,6 +42,12 @@ PARSED_SCALARS = [
     ("p1_w2", pa.float64()), ("p1_w3", pa.float64()),
     ("p2_w0", pa.float64()), ("p2_w1", pa.float64()),
     ("p2_w2", pa.float64()), ("p2_w3", pa.float64()),
+    # legacy dual-weight pair: the m-weight feeds the per-set count-maps and
+    # raw/saved weights (stats.ts:259-267); m == w (s) outside legacy mode.
+    ("p1_m0", pa.float64()), ("p1_m1", pa.float64()),
+    ("p1_m2", pa.float64()), ("p1_m3", pa.float64()),
+    ("p2_m0", pa.float64()), ("p2_m1", pa.float64()),
+    ("p2_m2", pa.float64()), ("p2_m3", pa.float64()),
 ]
 
 PARSED_SCHEMA = pa.schema(

@@ -57,12 +57,13 @@ def _pt(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def _side_w(t: pa.Table, parent: np.ndarray, side: np.ndarray) -> dict[str, np.ndarray]:
-    """per-slot weight columns w0..w3 resolved by side."""
+def _side_w(t: pa.Table, parent: np.ndarray, side: np.ndarray,
+            prefix: str = "w") -> dict[str, np.ndarray]:
+    """per-slot weight columns w0..w3 (or m0..m3) resolved by side."""
     out = {}
     for k in _CUTS:
-        out[f"w{k}"] = np.where(side == 1, _col(t, f"p1_w{k}")[parent],
-                                _col(t, f"p2_w{k}")[parent])
+        out[f"w{k}"] = np.where(side == 1, _col(t, f"p1_{prefix}{k}")[parent],
+                                _col(t, f"p2_{prefix}{k}")[parent])
     return out
 
 
@@ -145,16 +146,22 @@ def _explode_usage(t: pa.Table) -> pa.Table:
     valid = np.where(side == 1, _col(t, "p1_valid")[parent],
                      _col(t, "p2_valid")[parent])
     w = _side_w(t, parent, side)
+    m = _side_w(t, parent, side, prefix="m")
+    # legacy 'empty' slots count toward the global usage totals but carry no
+    # per-species stats (stats.ts:285-303) — raw/saved zeroed here, the
+    # species row dropped at view-collection time.
+    nonempty = species != "empty"
 
     cols = {
         "format": fmt, "species": species,
-        "raw_count": 1, "saved_count": valid.astype(np.int64),
+        "raw_count": nonempty.astype(np.int64),
+        "saved_count": (valid & nonempty).astype(np.int64),
         "usage_raw": ns, "usage_real": ns * real,
         "win_raw": ns * win, "win_real": ns * win * real,
     }
     for k in _CUTS:
-        cols[f"rw{k}"] = w[f"w{k}"]
-        cols[f"sw{k}"] = np.where(valid, w[f"w{k}"], 0.0)
+        cols[f"rw{k}"] = np.where(nonempty, m[f"w{k}"], 0.0)
+        cols[f"sw{k}"] = np.where(valid & nonempty, m[f"w{k}"], 0.0)
         cols[f"uw{k}"] = ns * w[f"w{k}"]
         cols[f"ww{k}"] = ns * win * w[f"w{k}"]
     df = pd.DataFrame(cols)
@@ -188,8 +195,13 @@ def _explode_movesets(t: pa.Table) -> pa.Table:
     parent, flat = _flat_slots(t)
     side = flat.field("side").to_numpy()
     species = flat.field("species").to_numpy(zero_copy_only=False)
+    # count-maps accumulate the m-weight (stats.ts:311-357); empty slots
+    # carry no per-set stats
+    keep = species != "empty"
+    parent, side, species = parent[keep], side[keep], species[keep]
+    flat = flat.filter(pa.array(keep))
     fmt = _col(t, "format")[parent]
-    w = _side_w(t, parent, side)
+    w = _side_w(t, parent, side, prefix="m")
 
     ability = flat.field("ability").to_numpy(zero_copy_only=False)
     # unknown ability counts as illuminate (stats.ts:330)
@@ -350,8 +362,11 @@ def _explode_teammates(t: pa.Table) -> pa.Table:
             continue
         lo, hi = offsets[b], offsets[b + 1]
         sd = side[lo:hi]
+        sp = species[lo:hi]
         for s in (1, 2):
-            idx = np.nonzero(sd == s)[0] + lo
+            # real-real pairs only; legacy empty-slot teammate entries are a
+            # separate last-writer family (teammate_empty_lastwriter)
+            idx = np.nonzero((sd == s) & (sp != "empty"))[0] + lo
             n = len(idx)
             if n < 2:
                 continue
@@ -386,6 +401,69 @@ def teammate_stats(parsed: Dataset) -> Dataset:
     agg = _hash_grouped(part, ["format", "s1", "s2"])
     return agg.map_batches(
         _unpivot_cutoffs(["format", "s1", "s2"], {"weight": "w"}),
+        batch_format="pyarrow")
+
+
+def teammate_empty_lastwriter(parsed: Dataset) -> Dataset:
+    """Legacy 'empty'-slot teammate entries (stats.ts:298-302,449-471).
+
+    When a legacy-padded team has empty slots, updateTeammates is called
+    with a FRESH accumulator for each empty index, so
+    stats.pokemon[b].teammates['empty'] is *overwritten* (not summed) with
+    (occurrences of b in that team) x weight — the value from the last
+    processed (battle, side) wins. Reproduced distributed: emit one row per
+    (battle, side, species) with an order key, aggregate = row of max order.
+    Rows for b == 'empty' carry the (e-1) x weight self-entry.
+    """
+
+    def _explode(t: pa.Table) -> pa.Table:
+        slots = t["slots"].combine_chunks()
+        offsets = slots.offsets.to_numpy().astype(np.int64)
+        flat = slots.flatten()
+        side_a = flat.field("side").to_numpy()
+        species_a = flat.field("species").to_numpy(zero_copy_only=False)
+        short = _col(t, "short")
+        fmt = _col(t, "format")
+        doc = _col(t, "doc_id")
+        rows = []
+        for b in range(len(t)):
+            if short[b]:
+                continue
+            lo, hi = offsets[b], offsets[b + 1]
+            for s in (1, 2):
+                sel = side_a[lo:hi] == s
+                sp = species_a[lo:hi][sel]
+                n_empty = int((sp == "empty").sum())
+                if n_empty == 0:
+                    continue
+                w = {k: t[f"p{s}_w{k}"][b].as_py() for k in _CUTS}
+                order = f"{doc[b]}|{s}"
+                from collections import Counter
+                counts = Counter(x for x in sp if x != "empty")
+                for b_sp, c in counts.items():
+                    rows.append((fmt[b], b_sp, order,
+                                 *[c * w[k] for k in _CUTS]))
+                if n_empty >= 2:
+                    rows.append((fmt[b], "empty", order,
+                                 *[(n_empty - 1) * w[k] for k in _CUTS]))
+        cols = ["format", "species", "ord"] + _W
+        df = pd.DataFrame(rows, columns=cols) if rows else \
+            pd.DataFrame({c: pd.Series(dtype=object if c in cols[:3] else np.float64)
+                          for c in cols})
+        return _pt(df)
+
+    part = parsed.map_batches(_explode, batch_format="pyarrow",
+                              batch_size=_EXPLODE_BATCH)
+
+    def _last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ord")
+        return df.groupby(["format", "species"], as_index=False,
+                          sort=False).last()
+
+    agg = part.groupby(["format", "species"]).map_groups(
+        _last, batch_format="pandas")
+    return agg.map_batches(
+        _unpivot_cutoffs(["format", "species"], {"weight": "w"}),
         batch_format="pyarrow")
 
 
@@ -479,8 +557,11 @@ def stalliness_stats(parsed: Dataset) -> Dataset:
 
 def _explode_unique(t: pa.Table) -> pa.Table:
     parent, flat = _flat_slots(t)
-    side = flat.field("side").to_numpy()
     species = flat.field("species").to_numpy(zero_copy_only=False)
+    keep = species != "empty"
+    parent, species = parent[keep], species[keep]
+    flat = flat.filter(pa.array(keep))
+    side = flat.field("side").to_numpy()
     player = flat.field("player").to_numpy(zero_copy_only=False)
     real = (flat.field("turns_out").to_numpy() > 0).astype(np.int64)
     fmt = _col(t, "format")[parent]

@@ -2,14 +2,20 @@
 
 The engine's M1-M7 operators (SURVEY.md §2.2) as one Ray Data actor-pool
 stage: decode int32 tokens to the JSON document (vectorized over the Arrow
-list buffer), validate, canonicalize both teams against the dex, run the
-protocol-line state machine to reconstruct matchups/turnsOut/kos, classify
-the teams, and compute per-cutoff Glicko weights (vectorized Cody erf).
+list buffer), validate, canonicalize both teams against a pluggable GenDex,
+run the protocol-line state machine to reconstruct matchups/turnsOut/kos,
+classify the teams, and compute per-cutoff Glicko weights (vectorized Cody
+erf).
 
 Semantics replicate the reference parser (stats/src/parser.ts:68-399) and
-weighting (stats/src/stats.ts:245-270); see each helper's citation. This is
-an independent implementation — ground truth for tests comes from
-stats_ray.synth's forward scenario model.
+weighting (stats/src/stats.ts:245-270) in both modes:
+
+- non-legacy (synthetic universe): one weight per (player, cutoff);
+- legacy (real-data slice; parser.ts `legacy=true`): teams pad to six
+  'empty' slots, the double-down review increments a single KO counter
+  (parser.ts:225-230), hpType comes from IVs, and weights split into the
+  (s, m) pair — s imputes a rating from the outcome while m falls back to
+  the provisional (1500, 130) when the rating is invalid (stats.ts:259-267).
 
 Usage:
     ds.map_batches(ParseBattles, batch_format="pyarrow",
@@ -23,8 +29,7 @@ import json
 import numpy as np
 import pyarrow as pa
 
-from .. import dex
-from ..dex import to_id
+from ..gendex import GenDex, gen_for_format, get_dex, to_id
 from ..functions.statmath import hidden_power_type
 from ..functions.weights import effective_rating, gxe, weighting
 from ..schema import PARSED_SCALARS, PARSED_SCHEMA, MATCHUP_T, SLOT_T
@@ -38,6 +43,9 @@ P1_FORCED_OUT, P2_FORCED_OUT = 6, 7
 P1_UTURN_KOED, P2_UTURN_KOED = 8, 9
 P1_FODDERED, P2_FODDERED = 10, 11
 UNKNOWN = 12
+
+ROAR_MOVES = {"Roar", "Whirlwind", "Circle Throw", "Dragon Tail"}
+UTURN_MOVES = {"U-Turn", "U-turn", "Volt Switch", "Baton Pass"}
 
 
 class ParseError(ValueError):
@@ -68,18 +76,21 @@ def canonicalize_format(fmt: str) -> str:
     return fmt
 
 
-def canonicalize_team(team: list[dict]) -> list[dict]:
+def canonicalize_team(team: list[dict], dx: GenDex | None = None,
+                      legacy: bool = False) -> list[dict]:
     """Engine implementation of Parser.canonicalizeTeam (parser.ts:278-334)."""
+    if dx is None:
+        dx = get_dex("synth")
     out = []
     for p in team or []:
         if not p:
             continue
         item = to_id(p.get("item") or "")
-        item = item if item in dex.ITEMS else "nothing"
+        item = item if item in dx.ITEMS else "nothing"
         happiness = p.get("happiness")
         happiness = 255 if happiness is None else happiness
         nature = to_id(p.get("nature") or "")
-        nature = nature if nature in dex.NATURES else "hardy"
+        nature = nature if nature in dx.NATURES else "hardy"
         evs = {k: 0 for k in ("hp", "atk", "def", "spa", "spd", "spe")}
         for k, v in (p.get("evs") or {}).items():
             if k in evs:
@@ -92,15 +103,17 @@ def canonicalize_team(team: list[dict]) -> list[dict]:
         for mv in (p.get("moves") or [])[:4]:
             m = to_id(mv)
             if m == "hiddenpower":
-                t = p.get("hpType") or hidden_power_type(ivs)
+                # legacy always derives the type from the IVs (parser.ts:304)
+                t = (p.get("hpType") if not legacy else None) \
+                    or hidden_power_type(ivs)
                 m = f"hiddenpower{to_id(t)}"
             moves.append(m)
         while len(moves) < 4:
             moves.append("")
         level = p.get("forcedLevel") or p.get("level") or 100
         ability = to_id(p.get("ability") or "")
-        ability = ability if ability in dex.ABILITIES else "unknown"
-        sid = dex.species_id(p.get("species") or p.get("name") or "")
+        ability = ability if ability in dx.ABILITIES else "unknown"
+        sid = dx.species_id(p.get("species") or p.get("name") or "")
         if sid is None:
             raise ParseError(f"Unknown species '{p.get('species')}'")
         tera = p.get("teraType") or "nothing"
@@ -112,7 +125,7 @@ def canonicalize_team(team: list[dict]) -> list[dict]:
         elif sid == "zamazenta" and item == "rustedshield":
             sid = "zamazentacrowned"
         else:
-            mega = _mega_evolution(sid, item)
+            mega = dx.mega_evolution(sid, item)
             if mega:
                 sid, ability = mega
         out.append({
@@ -124,19 +137,8 @@ def canonicalize_team(team: list[dict]) -> list[dict]:
     return out
 
 
-def _mega_evolution(sid: str, item: str):
-    """util.ts:67-93 over our dex (Blue/Red Orb + mega stones)."""
-    if item == "blueorb" and dex.base_species(sid) == "kyogre":
-        return "kyogreprimal", "primordialsea"
-    if item == "redorb" and dex.base_species(sid) == "groudon":
-        return "groudonprimal", "desolateland"
-    stone = dex.MEGA_STONES.get(item)
-    if stone and stone[0] == sid:
-        return stone[1], stone[2]
-    return None
-
-
-def _identify(name: str, side: str, mons: list[dict], idents: dict) -> int:
+def _identify(name: str, side: str, mons: list[dict], idents: dict,
+              dx: GenDex) -> int:
     """parser.ts:344-399."""
     names = idents[side]
     if name.startswith(f"{side}a: ") or name.startswith(f"{side}: "):
@@ -152,26 +154,25 @@ def _identify(name: str, side: str, mons: list[dict], idents: dict) -> int:
             names[longest[0]] = longest[1]
             return longest[0]
     else:
-        sid = dex.species_id(name)
+        sid = dx.species_id(name)
         if sid is None:
             raise ParseError(f"Unknown species '{name}'")
         for i, m in enumerate(mons):
             if m["species"] == sid:
                 return i
-        if dex.is_mega(sid) or sid in dex.FORMES:
-            sid = dex.base_species(sid)
+        if dx.is_mega(sid) or sid in dx.FORMES:
+            sid = dx.base_species(sid)
         for i, m in enumerate(mons):
             if m["species"].startswith(sid):
                 return i
     raise ParseError(f"Unable to locate {side}'s '{name}'")
 
 
-_ROAR = dex.ROAR_MOVES
-_UTURN = dex.UTURN_MOVES
-
-
-def parse_battle(doc: dict, fmt: str, singles: bool) -> dict:
+def parse_battle(doc: dict, fmt: str, singles: bool, dx: GenDex | None = None,
+                 legacy: bool = False) -> dict:
     """One document -> parsed battle dict (parser.ts:68-275)."""
+    if dx is None:
+        dx = get_dex("synth")
     if doc.get("turns") is None:
         raise ParseError("No turn count")
     log = doc.get("log")
@@ -191,11 +192,17 @@ def parse_battle(doc: dict, fmt: str, singles: bool) -> dict:
     idents = {"p1": [], "p2": []}
     mons = {}
     for side in ("p1", "p2"):
-        team = canonicalize_team(doc.get(f"{side}team"))
+        team = canonicalize_team(doc.get(f"{side}team"), dx, legacy)
         teams[side] = team
-        for p in team:
-            idents[side].append(p["name"] or p["species"])
-        mons[side] = [{"species": p["species"], "turnsOut": 0, "kos": 0} for p in team]
+        # legacy pads each side to six slots with 'empty' (parser.ts:95-106)
+        count = 6 if legacy else len(team)
+        for i in range(count):
+            p = team[i] if i < len(team) else None
+            idents[side].append((p["name"] or p["species"]) if p else "empty")
+        mons[side] = [
+            {"species": team[i]["species"] if i < len(team) else "empty",
+             "turnsOut": 0, "kos": 0}
+            for i in range(count)]
 
     battle = {
         "winner": winner, "turns": int(doc["turns"]),
@@ -250,9 +257,9 @@ def parse_battle(doc: dict, fmt: str, singles: bool) -> dict:
                 raise ParseError(f"Could not parse line: '{raw_line}'")
             flags["hazard"] = False
             move = line[3]
-            if move in _ROAR:
+            if move in ROAR_MOVES:
                 flags["roar"] = True
-            elif move in _UTURN:
+            elif move in UTURN_MOVES:
                 flags["uturn"] = True
         elif cmd == "-enditem":
             if "Red Card" in raw_line:
@@ -274,7 +281,7 @@ def parse_battle(doc: dict, fmt: str, singles: bool) -> dict:
             name = line[3].split(",")[0]
             side = "p1" if line[2].startswith("p1") else "p2"
             if cmd == "replace":
-                active[side] = _identify(name, side, mons[side], idents)
+                active[side] = _identify(name, side, mons[side], idents, dx)
                 continue
             if active["p1"] is not None and active["p2"] is not None:
                 flags["sw1" if side == "p1" else "sw2"] = True
@@ -285,8 +292,12 @@ def parse_battle(doc: dict, fmt: str, singles: bool) -> dict:
                     if not flags["ko1"] and not flags["ko2"]:
                         matchup[2] = DOUBLE_SWITCH
                     elif flags["ko1"] and flags["ko2"]:
-                        m1[active["p1"]]["kos"] += 1
-                        m2[active["p2"]]["kos"] += 1
+                        if legacy:
+                            # parser.ts:225-227: only one counter bumped
+                            (m1 if p == "p1" else m2)[active[p]]["kos"] += 1
+                        else:
+                            m1[active["p1"]]["kos"] += 1
+                            m2[active["p2"]]["kos"] += 1
                         matchup[2] = DOUBLE_DOWN
                     else:
                         (m1 if p == "p1" else m2)[active[p]]["kos"] += 1
@@ -308,34 +319,38 @@ def parse_battle(doc: dict, fmt: str, singles: bool) -> dict:
                     turn_matchups.append(matchup)
                 flags["uturn"] = flags["roar"] = flags["fodder"] = False
                 flags["hazard"] = True
-            active[side] = _identify(name, side, mons[side], idents)
+            active[side] = _identify(name, side, mons[side], idents, dx)
     return battle
 
 
 class ParseBattles:
     """Actor-pool batch transform: battles (tokens) table -> parsed table.
 
-    Stateful per-actor setup (dex tables are module-level dicts; kept as an
-    actor so state/caches load once per worker, SURVEY.md §2.4 T1/T2).
+    Stateful per-actor setup (dex tables load once per worker; SURVEY.md
+    §2.4 T1/T2). `dex_name` selects the universe ("synth" or "legacy");
+    `legacy` enables the reference's legacy parse/weighting semantics.
     """
 
-    def __init__(self, strict: bool = True):
+    def __init__(self, strict: bool = True, dex_name: str = "synth",
+                 legacy: bool = False):
         self.strict = strict
-        self.dex = dex.SPECIES  # touch tables so import cost is paid at init
+        self.dx = get_dex(dex_name)
+        self.legacy = legacy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docs = decode_column(batch["tokens"])
         sources = batch["source"].to_pylist()
         doc_ids = batch["doc_id"].to_pylist()
+        dx = self.dx
 
         rows = []
         for doc_id, source, s in zip(doc_ids, sources, docs):
             fmt = canonicalize_format(source.split("/", 1)[0])
-            singles = not dex.is_non_singles(fmt)
-            non6v6 = dex.is_non_6v6(fmt)
+            singles = not dx.is_non_singles(fmt)
+            non6v6 = dx.is_non_6v6(fmt)
             try:
                 doc = json.loads(s)
-                b = parse_battle(doc, fmt, singles)
+                b = parse_battle(doc, fmt, singles, dx, self.legacy)
             except (ParseError, ValueError, KeyError, IndexError, TypeError) as e:
                 if self.strict:
                     raise ParseError(f"{doc_id}: {e}") from e
@@ -345,6 +360,7 @@ class ParseBattles:
         return self._assemble(rows)
 
     def _assemble(self, rows) -> pa.Table:
+        dx, legacy = self.dx, self.legacy
         n = len(rows)
         cols: dict[str, list] = {name: [] for name, _ in PARSED_SCALARS}
         p1_tags, p2_tags, slots_col, matchups_col = [], [], [], []
@@ -355,6 +371,8 @@ class ParseBattles:
         rpr = np.zeros((n, 2)); rprd = np.zeros((n, 2))
         outc = np.zeros((n, 2), dtype=np.int8)
         cutoffs = np.zeros((n, 4))
+
+        from ..dex import cutoffs_for
 
         for i, (doc_id, source, fmt, singles, non6v6, doc, b) in enumerate(rows):
             turns = b["turns"]
@@ -371,7 +389,7 @@ class ParseBattles:
             cols["turns"].append(turns)
             cols["end_type"].append(b["end_type"])
             cols["ts_ms"].append(_ts_ms(doc.get("timestamp")))
-            cuts = dex.cutoffs_for(fmt)
+            cuts = cutoffs_for(fmt)
             cutoffs[i] = cuts
             for k in range(4):
                 cols[f"cutoff{k}"].append(cuts[k])
@@ -405,15 +423,29 @@ class ParseBattles:
             cols["lead1"].append(lead1)
             cols["lead2"].append(lead2)
 
+            gen_num = gen_for_format(fmt)
             slots = []
             for j, side in enumerate(("p1", "p2")):
                 team = b["teams"][side]
-                bias, stalliness, tags = classify_team(team)
+                bias, stalliness, tags = classify_team(team, dx, gen_num)
                 cols[f"{side}_bias"].append(bias)
                 cols[f"{side}_stalliness"].append(stalliness)
                 (p1_tags if j == 0 else p2_tags).append(tags)
                 player = to_id(doc.get(side) or "")
-                for k, (mon, st) in enumerate(zip(team, b["mons"][side])):
+                for k, st in enumerate(b["mons"][side]):
+                    mon = team[k] if k < len(team) else None
+                    if mon is None:
+                        # legacy 'empty' slot: counted in the global usage /
+                        # metagame totals, excluded from per-species stats
+                        slots.append({
+                            "side": j + 1, "slot": k, "player": player,
+                            "species": "empty", "item": "", "ability": "",
+                            "nature": "", "happiness": 0, "level": 0,
+                            "tera": "", "move1": "", "move2": "",
+                            "move3": "", "move4": "", "spread": "",
+                            "stats": "", "turns_out": 0, "kos": 0,
+                        })
+                        continue
                     # spread/stats keys are filled in one vectorized pass below
                     slots.append({
                         "side": j + 1, "slot": k, "player": player,
@@ -443,7 +475,8 @@ class ParseBattles:
             m_lv = np.array([m["level"] for m, _ in mon_meta], dtype=np.int64)
             spreads, statkeys = spread_and_stats_batch(
                 [m["species"] for m, _ in mon_meta],
-                [m["nature"] for m, _ in mon_meta], m_iv, m_ev, m_lv)
+                [m["nature"] for m, _ in mon_meta], m_iv, m_ev, m_lv,
+                dx=dx, legacy=legacy)
             for (arr_s, arr_k, (_, row)) in zip(spreads, statkeys, mon_meta):
                 row["spread"] = arr_s
                 row["stats"] = arr_k
@@ -461,6 +494,15 @@ class ParseBattles:
                 # rd>100 & cutoff>1500 zeroing needs the *per-row* cutoff
                 w = np.where((d_eff > 100.0) & (cutoffs[:, k] > 1500), 0.0, w)
                 cols[f"{side}_w{k}"] = w.tolist()
+                if legacy:
+                    # stats.ts:262-265: the m-weight ignores the imputed
+                    # outcome rating, falling back to (1500, 130)
+                    mfall = weighting(np.full(n, 1500.0), np.full(n, 130.0),
+                                      cutoffs[:, k])
+                    wm = np.where(valid, w, mfall)
+                else:
+                    wm = w
+                cols[f"{side}_m{k}"] = wm.tolist()
 
         arrays = {name: pa.array(cols[name], type=typ) for name, typ in PARSED_SCALARS}
         arrays["p1_tags"] = pa.array(p1_tags, type=pa.list_(pa.string()))
