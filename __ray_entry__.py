@@ -677,7 +677,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     from stats_ray.ops import queries as generic
     q.update(generic.QUERIES)
+    q["reference_golden_parity"] = _q_reference_parity
     return q
+
+
+def _q_reference_parity(sf_dir: str):
+    """Byte-exact parity vs the reference's 144 checked-in golden reports
+    (integration.ts:29-103): parse its real test logs with the legacy dex
+    slice, render all 6 report kinds x 4 cutoffs x 6 formats, diff.
+
+    rows-only (no SQL oracle can express report rendering); `matched` should
+    be 144/144. Returns an empty table when the reference checkout is not
+    present (sf_dir is unused — the inputs are the reference's own logs)."""
+    import os
+
+    import pandas as pd
+
+    from stats_ray.pipelines import parity
+    if not os.path.isdir(parity.DEFAULT_LOGS):
+        return pd.DataFrame({"format": [], "cutoff": [], "kind": [],
+                             "matched": []})
+    res = parity.run_parity()
+    return pd.DataFrame({
+        "format": [r["format"] for r in res],
+        "cutoff": [r["cutoff"] for r in res],
+        "kind": [r["kind"] for r in res],
+        "matched": [bool(r["match"]) for r in res],
+    }).sort_values(["format", "cutoff", "kind"]).reset_index(drop=True)
 
 
 def oracle_sql_for(corpus: str) -> dict[str, str]:

@@ -222,7 +222,7 @@ _ITEM_NAMES = [
     "Cameruptite", "Charizardite X", "Charizardite Y", "Cherish Ball",
     "Chesto Berry", "Chill Drive", "Choice Band", "Choice Scarf",
     "Choice Specs", "Coba Berry", "Cornerstone Mask", "Cover Fossil",
-    "Dubious Disc", "Eject Button", "Energy Powder", "Eviolite", "Fairium Z",
+    "Dubious Disc", "Eject Button", "Eviolite", "Fairium Z",
     "Fire Stone", "Focus Sash", "Gengarite", "Gold Bottle Cap", "Grassy Seed",
     "Gyaradosite", "Hard Stone", "Hearthflame Mask", "Heavy Ball",
     "Heavy-Duty Boots", "Iapapa Berry", "Iron Ball", "Leaf Stone",
@@ -483,9 +483,27 @@ NON_6V6_FORMATS_LEGACY = {
     "vgc2016", "vgc2017",
 }
 
+# stats/src/aliases.json (subset covering this slice): cosmetic formes and
+# shorthand names fold to the base species before the dex lookup
+# (util.ts:40-48).
+ALIASES = {
+    "gastrodoneast": "gastrodon",
+    "genesectb": "genesect", "genesectburn": "genesect",
+    "genesectc": "genesect", "genesectchill": "genesect",
+    "genesectd": "genesect", "genesectdouse": "genesect",
+    "genesects": "genesect", "genesectshock": "genesect",
+    "keldeor": "keldeo", "keldeoresolute": "keldeo",
+    "keldeoresolution": "keldeo",
+    "aegislashblade": "aegislash",
+    "castformrainy": "castform", "castformsnowy": "castform",
+    "castformsunny": "castform",
+    "ashgreninja": "greninjaash",
+    "basculinbluestriped": "basculin",
+}
+
 LEGACY_DEX = register(GenDex(
     name="legacy",
-    species=SPECIES, aliases={}, formes=FORMES,
+    species=SPECIES, aliases=ALIASES, formes=FORMES,
     moves=MOVES, items=ITEMS, abilities=ABILITIES, natures=NATURES,
     mega_stones=MEGA_STONES, tables=CLASSIFIER_TABLES,
     trapping_abilities=TRAPPING_ABILITIES, trapping_moves=TRAPPING_MOVES,

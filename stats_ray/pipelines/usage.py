@@ -75,8 +75,11 @@ AGG_FAMILIES = {
     "battles": agg.battle_counts,
     "encounters": agg.encounter_stats,
     "teammates": agg.teammate_stats,
+    "teammates_empty": agg.teammate_empty_lastwriter,
     "metagame": agg.metagame_stats,
     "unique": agg.unique_player_rollup,
+    "unique_total": lambda parsed: agg.unique_total_rollup(
+        agg._per_player_max(parsed)),
     "viability": agg.viability_stats,
     "stalliness": agg.stalliness_stats,
 }
@@ -100,10 +103,12 @@ def all_stats(parsed: Dataset) -> dict[str, object]:
 
 # families feeding the report renderers (stages.reports.collect_view)
 REPORT_FAMILIES = ["usage", "movesets", "leads", "battles", "encounters",
-                   "teammates", "metagame", "viability", "stalliness"]
+                   "teammates", "teammates_empty", "metagame", "viability",
+                   "stalliness", "unique", "unique_total"]
 
 
-def render_reports(parsed: Dataset, out_dir: str, *, formats=None) -> dict:
+def render_reports(parsed: Dataset, out_dir: str, *, formats=None,
+                   dex_name: str = "synth") -> dict:
     """S7 report fan-out: compute the report-feeding aggregates once, then
     render the 5 legacy reports + display JSON per (format, cutoff) into
     out_dir/{usage,leads,moveset,chaos,metagame,display}/.
@@ -112,8 +117,10 @@ def render_reports(parsed: Dataset, out_dir: str, *, formats=None) -> dict:
     per-(format, cutoff) render is driver-side small work."""
     import os
 
+    from ..gendex import get_dex
     from ..stages import reports as R
 
+    dx = get_dex(dex_name)
     aggs = {name: AGG_FAMILIES[name](parsed).to_pandas()
             for name in REPORT_FAMILIES}
     pairs = (aggs["battles"][["format", "cutoff"]]
@@ -122,7 +129,7 @@ def render_reports(parsed: Dataset, out_dir: str, *, formats=None) -> dict:
     for fmt, cutoff in pairs:
         if formats and fmt not in formats:
             continue
-        view = R.collect_view(aggs, fmt, int(cutoff))
+        view = R.collect_view(aggs, fmt, int(cutoff), dx)
         movesets = R.to_moveset_statistics(view, fmt)
         outputs = {
             "usage": R.usage_report(view),

@@ -112,7 +112,8 @@ def _unpivot_cutoffs(keys: list[str], weight_cols: dict[str, str],
     def fn(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         fmts = df["format"].to_numpy()
-        cut_sched = np.array([cutoffs_for(f) for f in fmts], dtype=np.int32)
+        cut_sched = np.array([cutoffs_for(f) for f in fmts],
+                             dtype=np.int32).reshape(len(fmts), 4)
         frames = []
         for k in _CUTS:
             sub = df[keys].copy()
@@ -610,6 +611,33 @@ def unique_player_rollup(parsed: Dataset) -> Dataset:
     per-species count/sum. The per-player state never lives in one worker's
     heap (the reference's unbounded-memory concern, FAQ.md:78-90)."""
     return _rollup_unique(_per_player_max(parsed))
+
+
+def unique_total_rollup(per_player: Dataset) -> Dataset:
+    """Format-level unique-player totals (display.ts:346-377 computeUnique):
+    per player, OR the real flags and MAX the weights across species, then
+    count/sum per format. Shares the per-player max shuffle with A9/A10."""
+
+    def _proj(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop(columns=["species", "g"])
+        return _pt(df.groupby(["format", "player"], as_index=False,
+                              sort=False).max())
+
+    part = per_player.map_batches(_proj, batch_format="pyarrow")
+    maxed = _hash_grouped(part, ["format", "player"], how="max")
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"format": [df["format"].iloc[0]],
+               "n_players": [len(df)], "real_players": [int(df["r"].sum())]}
+        for k in _CUTS:
+            row[f"sw{k}"] = [float(df[f"w{k}"].sum())]
+        return pd.DataFrame(row)
+
+    rolled = maxed.groupby("format").map_groups(_count, batch_format="pandas")
+    return rolled.map_batches(
+        _unpivot_cutoffs(["format"], {"sum_max_weight": "sw"},
+                         ["n_players", "real_players"]),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

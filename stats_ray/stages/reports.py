@@ -1,10 +1,14 @@
-"""Report rendering: the reference's 5 legacy reports + unified display JSON.
+"""Report rendering: the reference's 5 legacy reports + display JSON.
 
-Replicates `stats/src/reports.ts:98-412` and `display.ts:94-200` formatting
-(layout, sort orders, truncation rules O1-O4, viability A10, checks-and-
-counters A11, stalliness histogram A12) over OUR dex and the aggregate
-tables produced by stats_ray.stages.aggregate. Rendering is driver-side
-small work: each (format, cutoff) view is a few thousand rows.
+Byte-exact replicas of `stats/src/reports.ts:98-412` (usage / leads /
+moveset / detailed / metagame) and `stats/src/display.ts:93-172`
+(Display.fromStatistics), rendered from the long-form aggregate tables
+produced by stats_ray.stages.aggregate over a pluggable GenDex. All number
+formatting goes through functions.jsfmt (JS toFixed / Number::toString /
+localeCompare semantics) so output bytes match the reference goldens.
+
+Rendering is driver-side small work: each (format, cutoff) view is a few
+thousand rows.
 
 Also implements the inverse report parsers (S10, display.ts:387-535
 analogues) used for roundtrip tests.
@@ -12,7 +16,6 @@ analogues) used for roundtrip tests.
 
 from __future__ import annotations
 
-import json
 import math
 import re
 from dataclasses import dataclass, field
@@ -20,48 +23,66 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from ..dex import ABILITIES, ITEMS, MOVES, SPECIES
+from ..gendex import GenDex
+from ..functions.jsfmt import (
+    js_num, js_round, js_tofixed, json_stringify, locale_key, round_str,
+    stringify_pretty_compact,
+)
 
 MIN = (20, 0.5)  # reports.ts:66
 
 # outcome indices
 _KOED, _SWITCHED = 0, 3
 
-
-def js_round(v: float, p: float = 1e10) -> float:
-    """JS Math.round(v*p)/p (half toward +inf)."""
-    return math.floor(v * p + 0.5) / p
-
-
-def round_str(v: float, p: float = 1e10) -> str:
-    num = js_round(v, p)
-    return f"{num:.1f}" if num == math.floor(num) else repr(num)
+# reports.ts:100,665 — literal pre-gen-prefix format ids (modern gen-prefixed
+# ids never match; kept verbatim for fidelity)
+_REAL_FORMATS = ("challengecup1v1", "1v1")
+_ALPHA_FORMATS = ("randombattle", "challengecup", "challengcup1v1", "seasonal")
 
 
-def display_species(sid: str) -> str:
-    return SPECIES[sid]["name"] if sid in SPECIES else sid
+def _default_dex() -> GenDex:
+    from ..dex import SYNTH_DEX
+    return SYNTH_DEX
 
 
-def display_ability(aid: str) -> str:
-    return ABILITIES.get(aid, aid)
+def _div(a: float, b: float) -> float:
+    """JS division: x/0 -> ±inf, 0/0 -> NaN."""
+    if b == 0:
+        return math.nan if a == 0 else math.copysign(math.inf, a)
+    return a / b
 
 
-def display_item(iid: str) -> str:
-    return "Nothing" if iid == "nothing" else ITEMS.get(iid, iid)
-
-
-def display_move(mid: str) -> str:
-    return "Nothing" if mid == "" else MOVES.get(mid, mid)
-
-
-def display_tera(t: str) -> str:
-    return t[0].upper() + t[1:] if t else t
+def _falsy(x) -> bool:
+    """JS falsiness for numbers: 0, -0 and NaN."""
+    return x != x or x == 0
 
 
 def to_display_object(m: dict[str, float], display=None, p: float = 1e10):
+    """util.ts:296-309 — sort desc by value, tie by display-name
+    localeCompare; keys stay RAW (the display fn is sort-only — the
+    reference's 'FIXME: use display here for chaos reports as well')."""
     d = display or (lambda k: str(k))
-    items = sorted(m.items(), key=lambda kv: (-kv[1], d(kv[0])))
-    return {k: js_round(v, p) for k, v in items}
+    items = sorted(m.items(),
+                   key=lambda kv: (-kv[1], locale_key(d(kv[0]))
+                                   if isinstance(kv[0], str) else
+                                   locale_key(str(kv[0]))))
+    return {str(k): js_round(v, p) for k, v in items}
+
+
+def display_species(sid: str, dx: GenDex | None = None) -> str:
+    return (dx or _default_dex()).display_species(sid)
+
+
+def display_ability(aid: str, dx: GenDex | None = None) -> str:
+    return (dx or _default_dex()).display_ability(aid)
+
+
+def display_item(iid: str, dx: GenDex | None = None) -> str:
+    return (dx or _default_dex()).display_item(iid)
+
+
+def display_move(mid: str, dx: GenDex | None = None) -> str:
+    return (dx or _default_dex()).display_move(mid)
 
 
 # ---------------------------------------------------------------------------
@@ -82,6 +103,9 @@ class SpeciesView:
     lead_raw: int = 0
     lead_real: int = 0
     lead_weighted: float = 0.0
+    unique_raw: int = 0
+    unique_real: int = 0
+    unique_weighted: float = 0.0
     abilities: dict = field(default_factory=dict)
     items: dict = field(default_factory=dict)
     teras: dict = field(default_factory=dict)
@@ -91,13 +115,14 @@ class SpeciesView:
     happiness: dict = field(default_factory=dict)
     teammates: dict = field(default_factory=dict)
     encounters: dict = field(default_factory=dict)  # opp -> [13] floats
-    viability: tuple = (0, 0.0, 0.0, 0.0)
+    viability: tuple = (0, 0, 0, 0)
 
 
 @dataclass
 class FormatView:
     fmt: str
     cutoff: int
+    dx: GenDex = None
     battles: int = 0
     usage_raw: int = 0
     usage_real: int = 0
@@ -105,14 +130,34 @@ class FormatView:
     lead_raw: int = 0
     lead_real: int = 0
     lead_weighted: float = 0.0
+    unique_total_raw: int = 0
+    unique_total_real: int = 0
+    unique_total_weighted: float = 0.0
     tags: dict = field(default_factory=dict)
     stalliness: pd.DataFrame | None = None  # value/count/weight rows
     pokemon: dict[str, SpeciesView] = field(default_factory=dict)
+    # True iff the reference would have created stats.pokemon['empty'] (a
+    # legacy team with >= 2 empty slots; stats.ts:449-470 via the b='empty'
+    # branch) — gates whether 'empty' teammate weights survive getTeammates
+    empty_in_pokemon: bool = False
+
+    def __post_init__(self):
+        if self.dx is None:
+            self.dx = _default_dex()
 
     def poke(self, sid: str) -> SpeciesView:
         if sid not in self.pokemon:
             self.pokemon[sid] = SpeciesView()
         return self.pokemon[sid]
+
+    # display helpers bound to the view's dex
+    def dspecies(self, sid: str) -> str:
+        return self.dx.display_species(sid)
+
+    def dspecies_raw(self, sid: str) -> str:
+        """display.ts N(): raw dex name, no legacy Nidoran/Flabebe fixes."""
+        sp = self.dx.SPECIES.get(sid)
+        return sp["name"] if sp else sid
 
 
 _KIND_FIELD = {"ability": "abilities", "item": "items", "tera": "teras",
@@ -120,10 +165,11 @@ _KIND_FIELD = {"ability": "abilities", "item": "items", "tera": "teras",
                "happiness": "happiness"}
 
 
-def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int) -> FormatView:
+def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int,
+                 dx: GenDex | None = None) -> FormatView:
     """Assemble the reference's `Statistics` shape for one (format, cutoff)
     from the long-form aggregate tables."""
-    v = FormatView(fmt, cutoff)
+    v = FormatView(fmt, cutoff, dx or _default_dex())
 
     def sel(name):
         df = aggs.get(name)
@@ -135,6 +181,12 @@ def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int) -> Format
     v.battles = int(b["battles"].iloc[0]) if len(b) else 0
 
     for r in sel("usage").itertuples():
+        # 'empty' slots feed the global usage totals only (stats.ts:285-303)
+        v.usage_raw += int(r.usage_raw)
+        v.usage_real += int(r.usage_real)
+        v.usage_weighted += float(r.usage_weighted)
+        if r.species == "empty":
+            continue
         p = v.poke(r.species)
         p.usage_raw, p.usage_real = int(r.usage_raw), int(r.usage_real)
         p.usage_weighted = float(r.usage_weighted)
@@ -142,9 +194,6 @@ def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int) -> Format
         p.win_weighted = float(r.win_weighted)
         p.raw_count, p.raw_weight = int(r.raw_count), float(r.raw_weight)
         p.saved_count, p.saved_weight = int(r.saved_count), float(r.saved_weight)
-        v.usage_raw += p.usage_raw
-        v.usage_real += p.usage_real
-        v.usage_weighted += p.usage_weighted
 
     for r in sel("movesets").itertuples():
         getattr(v.poke(r.species), _KIND_FIELD[r.kind])[r.key] = \
@@ -164,6 +213,13 @@ def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int) -> Format
         v.poke(r.s1).teammates[r.s2] = float(r.weight)
         v.poke(r.s2).teammates[r.s1] = float(r.weight)
 
+    for r in sel("teammates_empty").itertuples():
+        # legacy last-writer 'empty' entries (see teammate_empty_lastwriter)
+        if r.species != "empty":
+            v.poke(r.species).teammates["empty"] = float(r.weight)
+        else:
+            v.empty_in_pokemon = True
+
     for r in sel("encounters").itertuples():
         enc = v.poke(r.species).encounters.setdefault(r.opponent, [0.0] * 13)
         enc[int(r.outcome)] += float(r.weight)
@@ -174,6 +230,21 @@ def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int) -> Format
     for r in sel("viability").itertuples():
         v.poke(r.species).viability = (int(r.v_n), float(r.v_max),
                                        float(r.v_p99), float(r.v_p80))
+
+    for r in sel("unique").itertuples():
+        if r.species == "empty":
+            continue
+        p = v.poke(r.species)
+        p.unique_raw = int(r.n_players)
+        p.unique_real = int(r.real_players)
+        p.unique_weighted = float(r.sum_max_weight)
+
+    ut = sel("unique_total")
+    if len(ut):
+        r = next(ut.itertuples())
+        v.unique_total_raw = int(r.n_players)
+        v.unique_total_real = int(r.real_players)
+        v.unique_total_weighted = float(r.sum_max_weight)
 
     st = sel("stalliness")
     v.stalliness = st[["value", "count", "weight"]] if len(st) else None
@@ -195,39 +266,64 @@ def checks_and_counters(encounters: dict, min_n: float = 20):
         score = js_round(p - 4 * d)
         cc.append((opp, {"koed": koed, "switched": switched, "n": n,
                          "p": p, "d": d, "score": score}))
-    cc.sort(key=lambda kv: (-kv[1]["score"], kv[0]))
-    return {display_species(k): v for k, v in cc}
+    cc.sort(key=lambda kv: (-kv[1]["score"], locale_key(kv[0])))
+    return cc
 
 
 # ---------------------------------------------------------------------------
-# toMovesetStatistics (reports.ts:690-757)
+# toMovesetStatistics (reports.ts:657-725)
 
-def to_moveset_statistics(v: FormatView, fmt: str, min_n: float = 20):
-    real = fmt in ("challengecup1v1", "1v1", "gen9challengecup1v1", "gen91v1")
+def to_moveset_statistics(v: FormatView, fmt: str | None = None,
+                          min_n: float = 20):
+    fmt = fmt or v.fmt
+    dx = v.dx
+    real = fmt in _REAL_FORMATS
     total = max(1.0, v.usage_real if real else v.usage_weighted)
 
     def usage(n):
         return js_round((n / total) * 6, 1e7)
 
     entries = list(v.pokemon.items())
-    entries.sort(key=lambda kv: (
-        -usage(kv[1].usage_real if real else kv[1].usage_weighted), kv[0]))
+    if fmt in _ALPHA_FORMATS:
+        entries.sort(key=lambda kv: locale_key(kv[0]))
+    elif real:
+        entries.sort(key=lambda kv: (-usage(kv[1].usage_real),
+                                     locale_key(kv[0])))
+    else:
+        entries.sort(key=lambda kv: (-usage(kv[1].usage_weighted),
+                                     locale_key(kv[0])))
+
+    def teammates_obj(p):
+        # getTeammates (reports.ts:728-748): display names; ids missing from
+        # stats.pokemon (incl. 'empty' unless a >=2-empty team created the
+        # entry) zero out
+        m = {}
+        for sid, w in p.teammates.items():
+            name = dx.display_species(sid)
+            if sid == "empty":
+                m[name] = w if v.empty_in_pokemon else 0
+            elif sid not in v.pokemon:
+                m[name] = 0
+            else:
+                m[name] = w
+        return to_display_object(m)
 
     out = {}
     for sid, p in entries:
+        cc = checks_and_counters(p.encounters, min_n)
         out[sid] = {
             "Raw count": p.raw_count,
             "usage": usage(p.usage_real if real else p.usage_weighted),
             "Viability Ceiling": list(p.viability),
-            "Abilities": to_display_object(p.abilities, display_ability),
-            "Items": to_display_object(p.items, display_item),
-            "Tera Types": to_display_object(p.teras, display_tera),
+            "Abilities": to_display_object(p.abilities, dx.display_ability),
+            "Items": to_display_object(p.items, dx.display_item),
+            "Tera Types": to_display_object(
+                p.teras, lambda t: t[0].upper() + t[1:] if t else t),
             "Spreads": to_display_object(p.spreads),
             "Happiness": to_display_object(p.happiness),
-            "Moves": to_display_object(p.moves, display_move),
-            "Teammates": to_display_object(
-                {display_species(k): w for k, w in p.teammates.items()}),
-            "Checks and Counters": checks_and_counters(p.encounters, min_n),
+            "Moves": to_display_object(p.moves, dx.display_move),
+            "Teammates": teammates_obj(p),
+            "Checks and Counters": {dx.display_species(k): e for k, e in cc},
         }
     return out
 
@@ -236,12 +332,12 @@ def to_moveset_statistics(v: FormatView, fmt: str, min_n: float = 20):
 # renderers
 
 def usage_report(v: FormatView) -> str:
-    real_fmt = v.fmt in ("challengecup1v1", "1v1", "gen9challengecup1v1", "gen91v1")
+    real_fmt = v.fmt in _REAL_FORMATS
     entries = list(v.pokemon.items())
     if real_fmt:
-        entries.sort(key=lambda kv: (-kv[1].usage_real, kv[0]))
+        entries.sort(key=lambda kv: (-kv[1].usage_real, locale_key(kv[0])))
     else:
-        entries.sort(key=lambda kv: (-kv[1].usage_weighted, kv[0]))
+        entries.sort(key=lambda kv: (-kv[1].usage_weighted, locale_key(kv[0])))
 
     s = f"Total battles: {v.battles}\n"
     avg = round_str(v.usage_weighted / v.battles / 12, 1e3) if v.battles else "0.0"
@@ -257,12 +353,12 @@ def usage_report(v: FormatView) -> str:
         if p.usage_raw == 0:
             break
         rank = f"{i + 1}".ljust(4)
-        poke = display_species(sid).ljust(18)
-        use = f"{(100 * p.usage_weighted / t_w) * 6:.5f}".rjust(8)
+        poke = v.dspecies(sid).ljust(18)
+        use = js_tofixed((100 * p.usage_weighted / t_w) * 6, 5).rjust(8)
         raw = f"{p.usage_raw}".ljust(6)
-        rawp = f"{(100 * p.usage_raw / t_raw) * 6:.3f}".rjust(6)
+        rawp = js_tofixed((100 * p.usage_raw / t_raw) * 6, 3).rjust(6)
         real = f"{p.usage_real}".ljust(6)
-        realp = f"{(100 * p.usage_real / t_real) * 6:.3f}".rjust(6)
+        realp = js_tofixed((100 * p.usage_real / t_real) * 6, 3).rjust(6)
         s += f"| {rank} | {poke} | {use}% | {raw} | {rawp}% | {real} | {realp}% | \n"
     s += bar
     return s
@@ -277,22 +373,23 @@ def leads_report(v: FormatView) -> str:
     t_raw = max(1.0, v.lead_raw)
     t_w = max(1.0, v.lead_weighted)
     entries = sorted(v.pokemon.items(),
-                     key=lambda kv: (-kv[1].lead_weighted, -kv[1].lead_raw, kv[0]))
+                     key=lambda kv: (-kv[1].lead_weighted, -kv[1].lead_raw,
+                                     locale_key(kv[0])))
     for i, (sid, p) in enumerate(entries):
         if p.lead_raw == 0:
             break
         rank = f"{i + 1}".ljust(4)
-        poke = display_species(sid).ljust(18)
-        use = f"{100 * p.lead_weighted / t_w:.5f}".rjust(8)
+        poke = v.dspecies(sid).ljust(18)
+        use = js_tofixed(100 * p.lead_weighted / t_w, 5).rjust(8)
         raw = f"{p.lead_raw}".ljust(6)
-        pct = f"{100 * p.lead_raw / t_raw:.3f}".rjust(6)
+        pct = js_tofixed(100 * p.lead_raw / t_raw, 3).rjust(6)
         s += f"| {rank} | {poke} | {use}% | {raw} | {pct}% | \n"
     s += bar
     return s
 
 
 def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
-    movesets = movesets or to_moveset_statistics(v, v.fmt, min_[0])
+    movesets = movesets or to_moveset_statistics(v, min_n=min_[0])
     width = 40
 
     def pad(line):
@@ -302,10 +399,10 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
         return pad(f"| {n}") + "\n"
 
     def display(n, w):
-        return pad(f"| {n} {100 * w:.3f}%") + "\n"
+        return pad(f"| {n} {js_tofixed(100 * w, 3)}%") + "\n"
 
     def other(total, f=1):
-        return pad(f"| Other {abs(f * 100 * (1 - total)):.3f}%") + "\n"
+        return pad(f"| Other {js_tofixed(abs(f * 100 * (1 - total)), 3)}%") + "\n"
 
     sep = "+" + "-" * width + "+\n"
     s = ""
@@ -314,7 +411,7 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
             break
         p = v.pokemon[sid]
         s += sep
-        s += pad(f"| {display_species(sid)}") + "\n"
+        s += pad(f"| {v.dspecies(sid)}") + "\n"
         s += sep
         s += pad(f"| Raw count: {m['Raw count']}") + "\n"
         avg = round_str(p.saved_weight / p.saved_count, 1e12) if p.saved_count else "---"
@@ -330,7 +427,7 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
                 s += other(total)
                 break
             weight = w / p.raw_weight
-            s += display(name, weight)
+            s += display(v.dx.display_ability(name), weight)
             total += weight
         s += sep
         total = 0.0
@@ -340,7 +437,7 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
                 s += other(total)
                 break
             weight = w / p.raw_weight
-            s += display(name, weight)
+            s += display(v.dx.display_item(name), weight)
             total += weight
         s += sep
         total = 0.0
@@ -360,7 +457,7 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
                 s += other(total, 4)
                 break
             weight = w / p.raw_weight
-            s += display(name, weight)
+            s += display(v.dx.display_move(name), weight)
             total += weight / 4
         s += sep
         total = 0.0
@@ -372,7 +469,7 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
                     s += other(total)
                     break
                 weight = w / p.raw_weight
-                s += display(name, weight)
+                s += display(name[0].upper() + name[1:] if name else name, weight)
                 total += weight
             s += sep
             total = 0.0
@@ -383,7 +480,7 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
             if w < 0.005 * p.raw_weight:
                 break
             weight = w / p.raw_weight
-            s += pad(f"| {name} {100 * weight:.3f}%") + "\n"
+            s += pad(f"| {name} {js_tofixed(100 * weight, 3)}%") + "\n"
             total += weight / 5
         s += sep
         cc = m["Checks and Counters"]
@@ -394,11 +491,13 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
                     break
                 if e["score"] < min_[1]:
                     break
-                line = pad(f"| {name} {100 * e['score']:.3f} "
-                           f"({100 * e['p']:.2f}±{100 * e['d']:.2f})") + "\n"
+                line = (f"| {name} {js_tofixed(100 * e['score'], 3)} "
+                        f"({js_tofixed(100 * e['p'], 2)}±{js_tofixed(100 * e['d'], 2)})"
+                        ).ljust(width + 1) + "|\n"
+                # FIXME-replica (reports.ts:321): \t + conditional pad spaces
                 ko = 100 * e["koed"] / e["n"]
                 sw = 100 * e["switched"] / e["n"]
-                line += f"|\t({ko:.1f}% KOed / {sw:.1f}% switched out)"
+                line += f"|\t({js_tofixed(ko, 1)}% KOed / {js_tofixed(sw, 1)}% switched out)"
                 if ko < 10:
                     line += " "
                 if sw < 10:
@@ -410,7 +509,7 @@ def moveset_report(v: FormatView, movesets=None, min_=MIN) -> str:
 
 def detailed_moveset_report(v: FormatView, tag=None, movesets=None,
                             min_n: float = 20) -> str:
-    movesets = movesets or to_moveset_statistics(v, v.fmt, min_n)
+    movesets = movesets or to_moveset_statistics(v, min_n=min_n)
     info = {
         "metagame": v.fmt, "cutoff": v.cutoff, "cutoff deviation": 0,
         "team type": tag, "number of battles": v.battles,
@@ -421,10 +520,11 @@ def detailed_moveset_report(v: FormatView, tag=None, movesets=None,
             break
         m = dict(m)
         m["Checks and Counters"] = {
-            k: {"n": js_round(e["n"]), "p": js_round(e["p"]), "d": js_round(e["d"])}
+            k: {"n": js_round(e["n"]), "p": js_round(e["p"]),
+                "d": js_round(e["d"])}
             for k, e in m["Checks and Counters"].items()}
-        data[display_species(sid)] = m
-    return json.dumps({"info": info, "data": data})
+        data[v.dspecies(sid)] = m
+    return json_stringify({"info": info, "data": data})
 
 
 def _fmod(a: float, b: float, f: float = 1e3) -> float:
@@ -470,7 +570,7 @@ def stalliness_histogram(st: pd.DataFrame):
     hist = [[x, 0.0] for x in xs]
     nb = len(hist)
     j = 0
-    for v_, w in zip(values, weights):
+    for v_, c, w in zip(values, counts, weights):
         while j < nb and v_ > hist[0][0] + bin_size * (j + 0.5):
             j += 1
         if j >= nb:
@@ -483,11 +583,11 @@ def stalliness_histogram(st: pd.DataFrame):
 
 def metagame_report(v: FormatView) -> str:
     w_total = max(1.0, v.usage_weighted)
-    tags = sorted(v.tags.items(), key=lambda kv: (-kv[1], kv[0]))
+    tags = sorted(v.tags.items(), key=lambda kv: (-kv[1], locale_key(kv[0])))
     s = ""
     for tag, weight in tags:
         dots = "." * max(0, 18 - len(tag))
-        s += f"{tag}{dots}{100.0 * weight / w_total * 6.0:.5f}%\n"
+        s += f"{tag}{dots}{js_tofixed(100.0 * weight / w_total * 6.0, 5)}%\n"
     s += "\n"
     if v.stalliness is None or not len(v.stalliness):
         return s
@@ -498,7 +598,7 @@ def metagame_report(v: FormatView) -> str:
     block = max_w / 30
     if block <= 0:
         return s
-    s += f"Stalliness (mean: {h['mean']:.3f})\n"
+    s += f"Stalliness (mean: {js_tofixed(h['mean'], 3)})\n"
     for x, w in h["histogram"]:
         line = "    |"
         if _fmod(x, 2 * h["binSize"]) < h["binSize"] / 2:
@@ -507,74 +607,111 @@ def metagame_report(v: FormatView) -> str:
                 line += "+"
             elif x == 0:
                 line += " "
-            line += f"{x:.1f}|"
+            line += f"{js_tofixed(x, 1)}|"
         s += line + "#" * int(js_round(w / block, 1)) + "\n"
     s += "more negative = more offensive, more positive = more stall\n"
-    s += f"one # = {100.0 * block / h['total']:.2f}%\n"
+    s += f"one # = {js_tofixed(100.0 * block / h['total'], 2)}%\n"
     return s
 
 
-def display_statistics(v: FormatView, min_n: float = 20) -> str:
-    """Unified JSON (display.ts:94-200 shape, subset: per-species usage maps
-    rounded to 1e-4, zero-weight keys retained iff nonzero)."""
-    real = v.fmt in ("challengecup1v1", "1v1", "gen9challengecup1v1", "gen91v1")
+# ---------------------------------------------------------------------------
+# Display.fromStatistics (display.ts:93-172) — the unified display JSON
 
-    def calc_usage(n_raw, n_real, n_w, t_raw, t_real, t_w, f=1):
-        return {
-            "raw": js_round(f * 100 * n_raw / max(1.0, t_raw), 1e4),
-            "real": js_round(f * 100 * n_real / max(1.0, t_real), 1e4),
-            "weighted": js_round(f * 100 * n_w / max(1.0, t_w), 1e4),
-        }
+def display_statistics(v: FormatView, min_n: float = 0,
+                       pretty: bool = True) -> str:
+    R = lambda x: js_round(x, 1e4)  # noqa: E731
+    real = v.fmt in _REAL_FORMATS
 
+    def calc_usage(n_raw, n_real, n_w, d_raw, d_real, d_w, f=1):
+        return {"raw": R(_div(n_raw, d_raw) * f),
+                "real": R(_div(n_real, d_real) * f),
+                "weighted": R(_div(n_w, d_w) * f)}
+
+    N = v.dspecies_raw
     entries = list(v.pokemon.items())
-    entries.sort(key=lambda kv: (
-        -(kv[1].usage_real if real else kv[1].usage_weighted),
-        display_species(kv[0])))
+    if v.fmt in _ALPHA_FORMATS:
+        entries.sort(key=lambda kv: locale_key(N(kv[0])))
+    elif real:
+        entries.sort(key=lambda kv: (-kv[1].usage_real, locale_key(N(kv[0]))))
+    else:
+        entries.sort(key=lambda kv: (-kv[1].usage_weighted,
+                                     locale_key(N(kv[0]))))
 
-    def pct_obj(m, total, display=None):
+    def pct_obj(m, weight, display=None):
+        # display.ts:305-319 toDisplayObject — break on first zero
         d = display or str
-        items = sorted(m.items(), key=lambda kv: (-kv[1], d(kv[0])))
+        items = sorted(m.items(), key=lambda kv: (-kv[1], locale_key(d(kv[0]))))
         out = {}
         for k, w in items:
-            r = js_round(100 * w / max(1.0, total), 1e4)
-            if r:
-                out[d(k)] = r
+            r = R(_div(w, weight))
+            if _falsy(r):
+                break
+            out[d(k)] = r
         return out
+
+    def teammates_obj(p):
+        # display.ts:321-344 — unknown species skipped
+        m = {}
+        for sid, w in p.teammates.items():
+            sp = v.dx.SPECIES.get(sid)
+            if sp is None:
+                continue
+            m[sp["name"]] = 0 if sid not in v.pokemon else w
+        return pct_obj(m, p.raw_weight)
 
     pokemon = {}
     for sid, p in entries:
         usage = calc_usage(p.usage_raw, p.usage_real, p.usage_weighted,
                            v.usage_raw, v.usage_real, v.usage_weighted, 6)
-        if not usage["weighted"]:
+        if _falsy(usage["weighted"]):
             break
-        pokemon[display_species(sid)] = {
+        cc = checks_and_counters(p.encounters, min_n)
+        pokemon[N(sid)] = {
             "lead": calc_usage(p.lead_raw, p.lead_real, p.lead_weighted,
                                v.lead_raw, v.lead_real, v.lead_weighted),
             "usage": usage,
+            "unique": calc_usage(p.unique_raw, p.unique_real,
+                                 p.unique_weighted, v.unique_total_raw,
+                                 v.unique_total_real,
+                                 v.unique_total_weighted, 6),
+            "win": calc_usage(p.win_raw, p.win_real, p.win_weighted,
+                              p.usage_raw, p.usage_real, p.usage_weighted),
             "count": p.raw_count,
-            "weight": js_round(p.saved_weight / p.saved_count) if p.saved_count else None,
+            "weight": R(p.saved_weight / p.saved_count) if p.saved_count else None,
             "viability": list(p.viability),
-            "abilities": pct_obj(p.abilities, p.raw_weight, display_ability),
-            "items": pct_obj(p.items, p.raw_weight, display_item),
-            "teraTypes": pct_obj(p.teras, p.raw_weight, display_tera),
+            "abilities": pct_obj(p.abilities, p.raw_weight,
+                                 v.dx.display_ability),
+            "items": pct_obj(p.items, p.raw_weight, v.dx.display_item),
+            "teraTypes": pct_obj(p.teras, p.raw_weight,
+                                 lambda t: t[0].upper() + t[1:] if t else t),
             "stats": pct_obj(p.statsmap, p.raw_weight),
-            "moves": pct_obj(p.moves, p.raw_weight, display_move),
-            "teammates": pct_obj(
-                {display_species(k): w for k, w in p.teammates.items()},
-                p.raw_weight),
-            "counters": {
-                k: [js_round(e["n"], 1e4), js_round(100 * e["p"], 1e4),
-                    js_round(100 * e["d"], 1e4)]
-                for k, e in checks_and_counters(p.encounters, min_n).items()},
+            "moves": pct_obj(p.moves, p.raw_weight, v.dx.display_move),
+            "teammates": teammates_obj(p),
+            "counters": {N(k): [R(e["n"]), R(_div(e["koed"], e["n"])),
+                                R(_div(e["switched"], e["n"]))]
+                         for k, e in cc},
         }
 
-    tags = {t: js_round(100 * w / max(1.0, v.usage_weighted) * 6, 1e4)
-            for t, w in sorted(v.tags.items(), key=lambda kv: (-kv[1], kv[0]))}
-    return json.dumps({
-        "battles": v.battles,
-        "pokemon": pokemon,
-        "metagame": {"tags": tags},
-    })
+    W = max(1.0, v.usage_weighted)
+    tags = {}
+    for t, w in sorted(v.tags.items(), key=lambda kv: (-kv[1],
+                                                       locale_key(kv[0]))):
+        r = R(w / W)
+        if _falsy(r):
+            break
+        tags[t] = r
+
+    h = stalliness_histogram(v.stalliness) if v.stalliness is not None \
+        and len(v.stalliness) else None
+    stall = {
+        "histogram": [[R(b), R(n)] for b, n in h["histogram"]],
+        "mean": R(h["mean"]),
+        "total": R(h["total"]),
+    } if h else {"histogram": [], "mean": 0, "total": 0}
+
+    obj = {"battles": v.battles, "pokemon": pokemon,
+           "metagame": {"tags": tags, "stalliness": stall}}
+    return stringify_pretty_compact(obj) if pretty else json_stringify(obj)
 
 
 # ---------------------------------------------------------------------------
