@@ -20,11 +20,13 @@ load once per worker process on first lookup).
 
 from __future__ import annotations
 
+import functools
 import re
 
 _NON_ID = re.compile(r"[^a-z0-9]")
 
 
+@functools.lru_cache(maxsize=65536)
 def to_id(s: str) -> str:
     return _NON_ID.sub("", s.lower())
 

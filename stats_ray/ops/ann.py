@@ -75,17 +75,30 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFra
     return out[["query_id", "neighbor_id", "sim"]]
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
-    """All pairs with cosine >= threshold (id1 < id2).
+def _broadcast_matrix(ds: Dataset):
+    """Accumulate (ids, normalized matrix) from Arrow batches and ray.put
+    it ONCE — the broadcast side never goes through pandas and lives in the
+    object store, not per-task closures."""
+    id_chunks, mat_chunks = [], []
+    for t in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids, mat = _to_matrix(t)
+        id_chunks.append(ids)
+        mat_chunks.append(_normalize(mat))
+    ids_all = np.concatenate(id_chunks)
+    m_all = np.vstack(mat_chunks)
+    return ray.put((ids_all, m_all))
 
-    Locally this broadcasts the full normalized matrix (fine for dimension
-    tables); at corpus scale swap the broadcast for lsh_bucketed pairing —
-    the per-batch kernel is identical."""
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    """All EXACT pairs with cosine >= threshold (id1 < id2).
+
+    Exact pair mining is inherently O(N^2) compute; this is the oracle /
+    dimension-table path: one normalized copy of the matrix is broadcast
+    through the object store (ray.put once, zero-copy reads per actor) and
+    every batch scores against it. The 100 TB path is
+    embedding_near_dup_lsh, which buckets before scoring."""
     ds = read_embeddings(sf_dir)
-    full = ds.to_pandas()
-    ids_all = full["vec_id"].to_numpy()
-    m_all = _normalize(np.stack(full["embedding"].to_numpy()).astype(np.float64))
-    ref = ray.put((ids_all, m_all))
+    ref = _broadcast_matrix(ds)
 
     class Pairs:
         def __init__(self):
@@ -104,6 +117,87 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
     out = ds.map_batches(Pairs, batch_format="pyarrow",
                          concurrency=(1, 8)).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                             "id2": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    out["sim"] = np.floor(np.abs(out["sim"]) * 1e4 + 0.5) / 1e4 * np.sign(out["sim"])
+    return out.sort_values(["id1", "id2"]).reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
+                           n_bands: int = 8, planes_per_band: int = 3,
+                           seed: int = 13, all_pairs_cap: int = 4096,
+                           num_partitions: int = 16) -> pd.DataFrame:
+    """Scale path for cosine-pair mining: random-hyperplane LSH bands.
+
+    Each vector gets n_bands independent codes (planes_per_band hyperplanes
+    each); vectors sharing any band code land in the same bucket, where the
+    exact cosine kernel scores only same-bucket pairs. Never materializes
+    the input on the driver; pair dedup is a distributed groupby.
+
+    Recall: a pair at angle theta collides in one band with prob
+    (1 - theta/pi)^planes_per_band; across 8 bands of 3 planes a pair at
+    cosine 0.35 (theta ~ 69.5 deg) is caught with prob
+    1 - (1 - 0.61^3)^8 ~ 0.89; tune bands/planes per target threshold.
+    Per-bucket work is capped at all_pairs_cap members (larger buckets are
+    chunked), bounding worker memory on degenerate codes."""
+    ds = read_embeddings(sf_dir)
+
+    class Code:
+        def __init__(self):
+            self.rs_planes = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            if self.rs_planes is None:
+                dim = mat.shape[1]
+                r = np.random.RandomState(seed)
+                self.rs_planes = r.normal(size=(n_bands * planes_per_band, dim))
+            mn = _normalize(mat)
+            bits = (mn @ self.rs_planes.T) > 0           # (n, bands*planes)
+            weights = 1 << np.arange(planes_per_band)
+            frames = []
+            for b in range(n_bands):
+                chunk = bits[:, b * planes_per_band:(b + 1) * planes_per_band]
+                codes = chunk @ weights
+                frames.append(pd.DataFrame({
+                    "vec_id": ids, "band": np.int32(b),
+                    "code": codes.astype(np.int32),
+                    "embedding": list(mn)}))
+            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                        preserve_index=False)
+
+    coded = ds.map_batches(Code, batch_format="pyarrow", concurrency=(1, 8))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                                 "id2": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["embedding"].to_numpy())
+        frames = []
+        for lo in range(0, n, all_pairs_cap):
+            chunk = m[lo:lo + all_pairs_cap]
+            sims = chunk @ m[lo:].T
+            ci, cj = np.nonzero(sims >= threshold)
+            keep = (cj + lo) > (ci + lo)  # upper triangle across chunks
+            ci, cj = ci[keep], cj[keep]
+            i1, i2 = ids[ci + lo], ids[cj + lo]
+            lo_id, hi_id = np.minimum(i1, i2), np.maximum(i1, i2)
+            frames.append(pd.DataFrame({
+                "id1": lo_id, "id2": hi_id,
+                "sim": sims[ci, cj]}))
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = coded.groupby(["band", "code"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    pairs = pairs.groupby(["id1", "id2"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
+    out = pairs.to_pandas()
     if out.empty:
         return pd.DataFrame({"id1": pd.Series(dtype="int64"),
                              "id2": pd.Series(dtype="int64"),

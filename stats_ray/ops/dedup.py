@@ -108,12 +108,38 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+class ShingleHashes:
+    """doc -> sorted array of 64-bit shingle hashes (one list<uint64> row).
+
+    Jaccard over the hash sets equals shingle-set Jaccard up to 64-bit
+    collisions (negligible); arrays ship as Arrow lists, so the verify join
+    moves fixed-width buffers, not text."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sh = [np.unique(np.fromiter((_hash64(s) for s in
+                                     _shingle_set(t.split())),
+                                    dtype=np.uint64))
+              for t in df["text"]]
+        return pd.DataFrame({"doc_id": df["doc_id"], "sh": sh})
+
+
+def _sorted_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
-                      num_perm: int = 64, bands: int = 16) -> pd.DataFrame:
+                      num_perm: int = 64, bands: int = 16,
+                      num_partitions: int = 16) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
 
-    Candidate generation is fully distributed (banded groupby); the verify
-    step re-reads only candidate docs (broadcast of the candidate id set)."""
+    Fully distributed: banded groupby generates same-bucket candidate
+    pairs, a (id1, id2) groupby dedups them, and verification joins the
+    docs' shingle-hash arrays to the pairs (two hash joins) and computes
+    Jaccard inside map_batches — no driver-side text dict or per-pair
+    driver loop. Only the final (small) verified-pair table materializes."""
     docs = read_documents(sf_dir, ["doc_id", "text"])
     banded = docs.map_batches(MinHashBands,
                               fn_constructor_kwargs={"num_perm": num_perm,
@@ -121,30 +147,39 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
                               batch_format="pandas", concurrency=(1, 8))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
+        ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
             return pd.DataFrame({"id1": pd.Series(dtype="int64"),
                                  "id2": pd.Series(dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
-        ids = np.asarray(ids)
         return pd.DataFrame({"id1": ids[a], "id2": ids[b]})
 
     cands = (banded.groupby(["band", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pandas"))
-    cand_df = cands.to_pandas().drop_duplicates()
-    if cand_df.empty:
-        return pd.DataFrame({"id1": [], "id2": [], "jaccard": []})
+    # distributed pair dedup (a pair can surface from several bands)
+    cands = cands.groupby(["id1", "id2"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
 
-    # verify: fetch texts of candidate docs only (small side), exact jaccard
-    need = set(cand_df["id1"]) | set(cand_df["id2"])
-    texts = (docs.map_batches(
-        lambda df: df[df["doc_id"].isin(need)], batch_format="pandas")
-        .to_pandas().set_index("doc_id")["text"].to_dict())
-    sh = {i: _shingle_set(t.split()) for i, t in texts.items()}
-    jac = [jaccard(sh[i], sh[j]) for i, j in zip(cand_df["id1"], cand_df["id2"])]
-    cand_df = cand_df.assign(jaccard=np.round(jac, 6))
-    return (cand_df[cand_df["jaccard"] >= threshold]
-            .sort_values(["id1", "id2"]).reset_index(drop=True))
+    sigs = docs.map_batches(ShingleHashes, batch_format="pandas",
+                            concurrency=(1, 8))
+    j1 = cands.join(sigs, "inner", num_partitions, on=("id1",),
+                    right_on=("doc_id",))
+    j2 = j1.join(sigs.map_batches(
+        lambda df: df.rename(columns={"sh": "sh2"}), batch_format="pandas"),
+        "inner", num_partitions, on=("id2",), right_on=("doc_id",))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.array([_sorted_jaccard(np.asarray(a, dtype=np.uint64),
+                                        np.asarray(b, dtype=np.uint64))
+                        for a, b in zip(df["sh"], df["sh2"])])
+        out = pd.DataFrame({"id1": df["id1"], "id2": df["id2"],
+                            "jaccard": np.round(jac, 6)})
+        return out[out["jaccard"] >= threshold]
+
+    verified = j2.map_batches(verify, batch_format="pandas").to_pandas()
+    if verified.empty:
+        return pd.DataFrame({"id1": [], "id2": [], "jaccard": []})
+    return verified.sort_values(["id1", "id2"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -184,34 +219,72 @@ def simhash_signatures(sf_dir: str) -> Dataset:
         SimHash, batch_format="pandas", concurrency=(1, 8))
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8,
+                      all_pairs_cap: int = 512,
+                      window: int = 64) -> pd.DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, candidates via
-    the 4-band pigeonhole (any identical 16-bit band)."""
+    the 4-band pigeonhole (any identical 16-bit band).
+
+    One fused exchange: every doc explodes into 4 (band, value) rows and a
+    single groupby buckets all bands together (vs. 4 sequential driver
+    passes). Hot buckets are bounded: a bucket of n docs emits all pairs
+    only when n <= all_pairs_cap; beyond that it sorts members by full
+    simhash and pairs each doc with its next `window` neighbors, so the
+    per-bucket pair count is <= max(all_pairs_cap^2/2, n*window) instead of
+    O(n^2) — degenerate band values (e.g. near-zero hashes of short docs)
+    cannot blow up a worker. Hamming is computed and filtered inside the
+    group; only verified pairs leave the bucket."""
     sigs = simhash_signatures(sf_dir)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"id1": pd.Series(dtype="int64"),
-                                 "id2": pd.Series(dtype="int64"),
-                                 "h1": pd.Series(dtype="uint64"),
-                                 "h2": pd.Series(dtype="uint64")})
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id1": ids[a], "id2": ids[b], "h1": hs[a], "h2": hs[b]})
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for b in range(4):
+            frames.append(pd.DataFrame({
+                "doc_id": df["doc_id"], "simhash": df["simhash"],
+                "band": np.int32(b), "value": df[f"band{b}"]}))
+        return pd.concat(frames, ignore_index=True)
 
-    frames = []
-    for b in range(4):
-        cands = (sigs.select_columns(["doc_id", "simhash", f"band{b}"])
-                 .groupby(f"band{b}")
-                 .map_groups(bucket_pairs, batch_format="pandas"))
-        frames.append(cands.to_pandas())
-    cand = pd.concat(frames, ignore_index=True).drop_duplicates(["id1", "id2"])
-    if cand.empty:
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                              "id2": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        g = g.drop_duplicates("doc_id")
+        n = len(g)
+        if n < 2:
+            return empty
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        if n <= all_pairs_cap:
+            a, b = np.triu_indices(n, k=1)
+        else:
+            order = np.argsort(hs, kind="stable")
+            ids, hs = ids[order], hs[order]
+            offs = np.arange(1, window + 1)
+            a = np.repeat(np.arange(n), window)
+            b = (a + np.tile(offs, n))
+            keep = b < n
+            a, b = a[keep], b[keep]
+        x = hs[a] ^ hs[b]
+        # popcount via 8-bit lookup over the byte view
+        bytes_ = x.view(np.uint8).reshape(len(x), 8)
+        ham = _POPCOUNT[bytes_].sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        i1, i2 = ids[a[keep]], ids[b[keep]]
+        lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
+        return pd.DataFrame({"id1": lo, "id2": hi, "hamming": ham[keep]})
+
+    pairs = (exploded.groupby(["band", "value"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # distributed dedup (a pair can match on several bands)
+    pairs = pairs.groupby(["id1", "id2"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
+    out = pairs.to_pandas()
+    if out.empty:
         return pd.DataFrame({"id1": [], "id2": [], "hamming": []})
-    x = cand["h1"].to_numpy().astype(np.uint64) ^ cand["h2"].to_numpy().astype(np.uint64)
-    ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-    cand = cand.assign(hamming=ham)
-    return (cand[cand["hamming"] <= max_hamming][["id1", "id2", "hamming"]]
+    return (out[["id1", "id2", "hamming"]]
             .sort_values(["id1", "id2"]).reset_index(drop=True))
+
+
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)

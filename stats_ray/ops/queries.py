@@ -261,6 +261,13 @@ def _q_lsh_topk(sf_dir: str):
     return df
 
 
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    """Approximate (LSH-bucketed) pair mining — the 100-TB path; rows-only
+    check (recall vs the exact path is pinned in tests/test_ops.py)."""
+    from .ann import embedding_near_dup_lsh
+    return embedding_near_dup_lsh(sf_dir)
+
+
 QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
@@ -278,6 +285,7 @@ QUERIES = {
     "simhash_dup_pairs": _q_simhash,
     "doc_lang_id": _q_lang_id,
     "ann_lsh_topk": _q_lsh_topk,
+    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "events_approx_users": _q_approx_users,
 }
 

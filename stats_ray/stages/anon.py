@@ -60,7 +60,8 @@ class Verifier:
         self._regex = None
 
     def verify(self, inp: str, out: str) -> bool:
-        if self._regex is None:
+        if self._regex is None or getattr(self, "_n", -1) != len(self.names):
+            self._n = len(self.names)
             parts = []
             for n in self.names:
                 safe = re.escape(n)
@@ -125,7 +126,26 @@ def anonymize_doc(doc: dict, salt: str | None = None,
         pos = field[:m.end()]
         nick = field[m.end():]
         side = pos[:2]
-        return pos + nick_map.get((side, nick), nick)
+        if (side, nick) in nick_map:
+            return pos + nick_map[(side, nick)]
+        # The stored team name may be a truncated PREFIX of the protocol
+        # nickname (parser.ts:358-377) — resolve with the same
+        # longest-prefix rule the parser uses, register the full protocol
+        # nickname with the Verifier, and cache the mapping. An unmapped
+        # ident is an error, never a passthrough (the reference anonymizer
+        # throws 'Unknown pokemon', anon/src/index.ts:433-440) — falling
+        # back to the raw nickname would leak it.
+        best = None
+        for (s, stored), anon_name in nick_map.items():
+            if s == side and stored and nick.startswith(stored):
+                if best is None or len(stored) > len(best[0]):
+                    best = (stored, anon_name)
+        if best is not None:
+            if verifier and nick != best[1]:
+                verifier.names.add(nick)
+            nick_map[(side, nick)] = best[1]
+            return pos + best[1]
+        raise ValueError(f"Unknown pokemon '{field}'")
 
     def anon_line(line: str):
         if line == "":

@@ -143,9 +143,13 @@ class DecodeBinary:
         for j, side in enumerate(("p1", "p2")):
             off = 12 + 3 * j
             rpr = rows[:, off:off + 2].copy().view("<u2").reshape(n)
+            missing = rpr == 0xFFFF
             out[f"{side}_rpr"] = pa.array(
-                np.where(rpr == 0xFFFF, -1, rpr).astype(np.float64))
-            out[f"{side}_rprd"] = pa.array(rows[:, off + 2].astype(np.float64))
+                np.where(missing, -1, rpr).astype(np.float64))
+            # mirror the rpr sentinel: an unrated player's deviation byte is
+            # the 255 clamp, which must not read back as a real rd of 255.0
+            out[f"{side}_rprd"] = pa.array(
+                np.where(missing, -1, rows[:, off + 2]).astype(np.float64))
 
         species_arr = np.array(lk.species + ["empty"])
         team = rows[:, HEADER:].reshape(n, 2 * N_MONS, MON_SIZE)

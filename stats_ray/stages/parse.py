@@ -373,6 +373,18 @@ class ParseBattles:
         cutoffs = np.zeros((n, 4))
 
         from ..dex import cutoffs_for
+        from .classify_vec import classify_teams_batch
+
+        # batch-classify every team in the batch in one vectorized pass
+        # (bitwise-identical to the scalar classifier; see classify_vec)
+        all_teams = []
+        team_gens = []
+        for _i, (_d, _s, fmt, _sg, _n6, _doc, b) in enumerate(rows):
+            g = gen_for_format(fmt)
+            all_teams.append(b["teams"]["p1"])
+            all_teams.append(b["teams"]["p2"])
+            team_gens.extend((g, g))
+        classified = classify_teams_batch(all_teams, dx, team_gens)
 
         for i, (doc_id, source, fmt, singles, non6v6, doc, b) in enumerate(rows):
             turns = b["turns"]
@@ -423,11 +435,10 @@ class ParseBattles:
             cols["lead1"].append(lead1)
             cols["lead2"].append(lead2)
 
-            gen_num = gen_for_format(fmt)
             slots = []
             for j, side in enumerate(("p1", "p2")):
                 team = b["teams"][side]
-                bias, stalliness, tags = classify_team(team, dx, gen_num)
+                bias, stalliness, tags = classified[2 * i + j]
                 cols[f"{side}_bias"].append(bias)
                 cols[f"{side}_stalliness"].append(stalliness)
                 (p1_tags if j == 0 else p2_tags).append(tags)

@@ -65,12 +65,20 @@ class Manifest:
         if self.done(key):
             return self._done[key]
         final = self.partition_dir(key)
+        # Single-writer assumption: one Manifest instance owns this root
+        # (the driver). Concurrent writers on the same key would race the
+        # final rename; shard different keys across writers instead.
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         shutil.rmtree(final, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         t0 = time.time()
-        metrics = fn(tmp) or {}
+        try:
+            metrics = fn(tmp) or {}
+        except BaseException:
+            # never leave .tmp-* scratch dirs behind on failure
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         os.replace(tmp, final) if not os.path.isdir(final) else None
         if os.path.isdir(tmp):  # os.replace on dirs fails if final exists
             shutil.rmtree(final, ignore_errors=True)

@@ -45,7 +45,7 @@ from .functions.statmath import hidden_power_type, spread_and_stats
 from .stages.classify import classify_team
 from .tokens import canonical_json, encode_strings
 
-SYNTH_VERSION = 3
+SYNTH_VERSION = 4
 DEFAULT_BASE = "/tmp/stats_ray_corpus"
 N_BATTLES = {"0.001": 2000, "0.01": 20000, "0.1": 200000}
 
@@ -226,6 +226,12 @@ def _switch_line(side: str, mon_raw: dict, kind: str = "switch") -> str:
     return f"|{kind}|{side}a: {nick}|{sp}, L{mon_raw.get('level', 100)}|100/100"
 
 
+def _nick(mon_raw: dict) -> str:
+    """Protocol nickname of a mon (full name; anon/parser resolve prefixes)."""
+    sp = SPECIES[dex.base_species(dex.species_id(mon_raw["species"]))]["name"]
+    return mon_raw.get("name") or sp
+
+
 def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
     """Returns (lines, matchups, turns_out per side, kos per side)."""
     n1, n2 = len(team1_raw), len(team2_raw)
@@ -274,12 +280,12 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
             op = "stay"
 
         if op == "stay":
-            lines.append(f"|move|p1a: x|Tackle|p2a: y")
+            lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|Tackle|p2a: {_nick(team2_raw[a2])}")
             if rng.random() < 0.5:
-                lines.append(f"|move|p2a: y|Scald|p1a: x")
+                lines.append(f"|move|p2a: {_nick(team2_raw[a2])}|Scald|p1a: {_nick(team1_raw[a1])}")
         elif op == "switch1":
             new = rng.choice(sorted(bench1))
-            lines.append(f"|move|p2a: y|Scald|p1a: x")
+            lines.append(f"|move|p2a: {_nick(team2_raw[a2])}|Scald|p1a: {_nick(team1_raw[a1])}")
             lines.append(_switch_line("p1", team1_raw[new]))
             matchups.append((a1, a2, P1_SWITCHED_OUT))
             bench1.remove(new); bench1.add(a1); a1 = new
@@ -298,7 +304,7 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
             bench2.remove(new2); bench2.add(a2); a2 = new2
         elif op == "uturn1":  # voluntary pivot — still a plain switch-out
             new = rng.choice(sorted(bench1))
-            lines.append(f"|move|p1a: x|U-turn|p2a: y")
+            lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|U-turn|p2a: {_nick(team2_raw[a2])}")
             lines.append(_switch_line("p1", team1_raw[new]))
             matchups.append((a1, a2, P1_SWITCHED_OUT))
             bench1.remove(new); bench1.add(a1); a1 = new
@@ -306,28 +312,28 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
             side = 1 if op == "forced1" else 2
             if side == 1:
                 new = rng.choice(sorted(bench1))
-                lines.append(f"|move|p2a: y|Roar|p1a: x")
+                lines.append(f"|move|p2a: {_nick(team2_raw[a2])}|Roar|p1a: {_nick(team1_raw[a1])}")
                 lines.append(_switch_line("p1", team1_raw[new], "drag"))
                 matchups.append((a1, a2, P1_FORCED_OUT))
                 bench1.remove(new); bench1.add(a1); a1 = new
             else:
                 new = rng.choice(sorted(bench2))
-                lines.append(f"|move|p1a: x|Whirlwind|p2a: y")
+                lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|Whirlwind|p2a: {_nick(team2_raw[a2])}")
                 lines.append(_switch_line("p2", team2_raw[new], "drag"))
                 matchups.append((a1, a2, P2_FORCED_OUT))
                 bench2.remove(new); bench2.add(a2); a2 = new
         elif op == "enditem_forced1":
             new = rng.choice(sorted(bench1))
-            nick2 = team2_raw[a2].get("name", "y")
-            lines.append(f"|move|p1a: x|Tackle|p2a: {nick2}")
+            nick2 = _nick(team2_raw[a2])
+            lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|Tackle|p2a: {nick2}")
             lines.append(f"|-enditem|p2a: {nick2}|Red Card")
             lines.append(_switch_line("p1", team1_raw[new], "drag"))
             matchups.append((a1, a2, P1_FORCED_OUT))
             bench1.remove(new); bench1.add(a1); a1 = new
         elif op == "enditem_eject2":
             new = rng.choice(sorted(bench2))
-            nick2 = team2_raw[a2].get("name", "y")
-            lines.append(f"|move|p1a: x|Tackle|p2a: {nick2}")
+            nick2 = _nick(team2_raw[a2])
+            lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|Tackle|p2a: {nick2}")
             lines.append(f"|-enditem|p2a: {nick2}|Eject Button")
             lines.append(_switch_line("p2", team2_raw[new]))
             matchups.append((a1, a2, P2_SWITCHED_OUT))
@@ -335,8 +341,8 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
         elif op in ("ko1", "ko2"):
             if op == "ko1":
                 new = rng.choice(sorted(bench1))
-                nick1 = team1_raw[a1].get("name", "x")
-                lines.append(f"|move|p2a: y|Surf|p1a: {nick1}")
+                nick1 = _nick(team1_raw[a1])
+                lines.append(f"|move|p2a: {_nick(team2_raw[a2])}|Surf|p1a: {nick1}")
                 lines.append(f"|faint|p1a: {nick1}")
                 lines.append(_switch_line("p1", team1_raw[new]))
                 matchups.append((a1, a2, P1_KOED))
@@ -344,8 +350,8 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
                 bench1.remove(new); a1 = new
             else:
                 new = rng.choice(sorted(bench2))
-                nick2 = team2_raw[a2].get("name", "y")
-                lines.append(f"|move|p1a: x|Earthquake|p2a: {nick2}")
+                nick2 = _nick(team2_raw[a2])
+                lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|Earthquake|p2a: {nick2}")
                 lines.append(f"|faint|p2a: {nick2}")
                 lines.append(_switch_line("p2", team2_raw[new]))
                 matchups.append((a1, a2, P2_KOED))
@@ -358,8 +364,8 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
             if op == "uturnko1":  # p1 uses U-turn, p2's mon faints
                 new1 = rng.choice(sorted(bench1))
                 new2 = rng.choice(sorted(bench2))
-                nick2 = team2_raw[a2].get("name", "y")
-                lines.append(f"|move|p1a: x|U-turn|p2a: {nick2}")
+                nick2 = _nick(team2_raw[a2])
+                lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|U-turn|p2a: {nick2}")
                 lines.append(f"|faint|p2a: {nick2}")
                 lines.append(_switch_line("p1", team1_raw[new1]))
                 lines.append(_switch_line("p2", team2_raw[new2]))
@@ -370,8 +376,8 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
             else:  # p2 uses Volt Switch, p1's mon faints
                 new1 = rng.choice(sorted(bench1))
                 new2 = rng.choice(sorted(bench2))
-                nick1 = team1_raw[a1].get("name", "x")
-                lines.append(f"|move|p2a: y|Volt Switch|p1a: {nick1}")
+                nick1 = _nick(team1_raw[a1])
+                lines.append(f"|move|p2a: {_nick(team2_raw[a2])}|Volt Switch|p1a: {nick1}")
                 lines.append(f"|faint|p1a: {nick1}")
                 lines.append(_switch_line("p2", team2_raw[new2]))
                 lines.append(_switch_line("p1", team1_raw[new1]))
@@ -407,20 +413,20 @@ def _gen_script(rng, team1_raw, team2_raw, p1name, p2name, winner, turns):
     else:
         r = rng.random()
         if r < 0.25 and winner == 1 and bench2:
-            nick2 = team2_raw[a2].get("name", "y")
-            lines.append(f"|move|p1a: x|Ice Beam|p2a: {nick2}")
+            nick2 = _nick(team2_raw[a2])
+            lines.append(f"|move|p1a: {_nick(team1_raw[a1])}|Ice Beam|p2a: {nick2}")
             lines.append(f"|faint|p2a: {nick2}")
             matchups.append((a1, a2, P2_KOED))
             kos2[a2] += 1
         elif r < 0.35 and winner == 2 and bench1:
-            nick1 = team1_raw[a1].get("name", "x")
-            lines.append(f"|move|p2a: y|Flamethrower|p1a: {nick1}")
+            nick1 = _nick(team1_raw[a1])
+            lines.append(f"|move|p2a: {_nick(team2_raw[a2])}|Flamethrower|p1a: {nick1}")
             lines.append(f"|faint|p1a: {nick1}")
             matchups.append((a1, a2, P1_KOED))
             kos1[a1] += 1
         elif r < 0.40:
-            nick1 = team1_raw[a1].get("name", "x")
-            nick2 = team2_raw[a2].get("name", "y")
+            nick1 = _nick(team1_raw[a1])
+            nick2 = _nick(team2_raw[a2])
             lines.append(f"|move|p1a: {nick1}|Explosion|p2a: {nick2}")
             lines.append(f"|faint|p1a: {nick1}")
             lines.append(f"|faint|p2a: {nick2}")

@@ -9,7 +9,7 @@ import os
 
 import pytest
 
-GOLDEN_SYNTH_VERSION = 3
+GOLDEN_SYNTH_VERSION = 4
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
