@@ -255,7 +255,13 @@ def _q_player_wins(sf_dir: str):
 
 
 def _q_top_teams(sf_dir: str):
-    """A16: dedup teams by composition key, keep best rating, top 20."""
+    """A16 (tools/teams:66-76): dedup teams by the full set key
+    species|item|move1,..,move4 (per mon, joined ']'), rating =
+    rpr - rprd (0 when unrated), keep the max per key.
+
+    Scale shape: groupby-max on the team key, then per-block top-20 so the
+    driver merges <= 20 x blocks candidate rows instead of sorting every
+    distinct team globally."""
     from ray.data.aggregate import Max
     parsed = _parsed(sf_dir)
 
@@ -266,27 +272,39 @@ def _q_top_teams(sf_dir: str):
         par = pc.list_parent_indices(s).to_numpy()
         flat = s.flatten()
         side = flat.field("side").to_numpy()
-        species = flat.field("species").to_numpy(zero_copy_only=False)
         fmt = t["format"].to_numpy(zero_copy_only=False)
-        rpr = {1: t["p1_rpr"].to_numpy(zero_copy_only=False),
-               2: t["p2_rpr"].to_numpy(zero_copy_only=False)}
-        df = pd.DataFrame({"b": par, "side": side, "species": species})
-        keys = (df.groupby(["b", "side"], sort=False)["species"]
-                .agg("|".join).reset_index())
-        r = np.where(keys["side"] == 1, rpr[1][keys["b"]], rpr[2][keys["b"]])
-        out = pd.DataFrame({
-            "format": fmt[keys["b"]], "team_key": keys["species"],
-            "rating": np.where(np.isnan(r.astype(np.float64)), -1.0,
-                               r.astype(np.float64)),
-        })
+        species = flat.field("species").to_numpy(zero_copy_only=False)
+        item = flat.field("item").to_numpy(zero_copy_only=False)
+        mv = [flat.field(f"move{k}").to_numpy(zero_copy_only=False)
+              for k in (1, 2, 3, 4)]
+        part = np.array([f"{sp}|{it}|{a},{b},{c},{d}" for sp, it, a, b, c, d
+                         in zip(species, item, *mv)], dtype=object)
+        df = pd.DataFrame({"b": par, "side": side, "part": part})
+        keys = (df.groupby(["b", "side"], sort=False)["part"]
+                .agg("]".join).reset_index())
+        r = np.zeros((len(t), 2))
+        for j, sd in enumerate(("p1", "p2")):
+            has = t[f"{sd}_has_rating"].to_numpy(zero_copy_only=False)
+            rpr = t[f"{sd}_rpr"].to_numpy(zero_copy_only=False).astype(np.float64)
+            rprd = t[f"{sd}_rprd"].to_numpy(zero_copy_only=False).astype(np.float64)
+            r[:, j] = np.where(has, np.nan_to_num(rpr) - np.nan_to_num(rprd), 0.0)
+        rating = np.where(keys["side"] == 1, r[keys["b"], 0], r[keys["b"], 1])
+        out = pd.DataFrame({"format": fmt[keys["b"]],
+                            "team_key": keys["part"], "rating": rating})
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    top = (parsed.map_batches(explode, batch_format="pyarrow")
+    agg = (parsed.map_batches(explode, batch_format="pyarrow")
            .groupby(["format", "team_key"])
-           .aggregate(Max("rating", alias_name="rating"))
-           .sort(["rating", "format", "team_key"], descending=[True, False, False])
-           .limit(20))
-    return top.to_pandas()
+           .aggregate(Max("rating", alias_name="rating")))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rating", "format", "team_key"],
+                              ascending=[False, True, True]).head(20)
+
+    cands = agg.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return (cands.sort_values(["rating", "format", "team_key"],
+                              ascending=[False, True, True])
+            .head(20).reset_index(drop=True))
 
 
 def _q_stalliness(sf_dir: str):
@@ -341,6 +359,44 @@ def _q_binary_roundtrip(sf_dir: str):
     df = B.species_counts_from_db(db_dir).to_pandas()
     df["n"] = df["n"].astype("int64")
     return df
+
+
+def _q_binary_stats(sf_dir: str):
+    """A14: the dense stats tables computed FROM the binary db
+    (binary.ts:244-381) — species usage / leads / move x species /
+    item x species / species x species pair weights at cutoff 1630 with the
+    codec's rounded ratings."""
+    from stats_ray.stages import binary as B
+    enc = _parsed(sf_dir).map_batches(B.EncodeBinary, batch_format="pyarrow",
+                                      concurrency=(1, 8))
+    df = B.binary_stats_tables(enc, cutoff=1630.0).to_pandas()
+    df["weight"] = _half_up(df["weight"])
+    return df.sort_values(["format", "kind", "a", "b"]).reset_index(drop=True)
+
+
+def _sql_binary_stats():
+    w1, w2 = "b.p1_bw", "b.p2_bw"
+    return (
+        f"WITH b AS {_b_cte()}, "
+        f"s AS (SELECT s.*, b.format AS format,"
+        f" CASE WHEN s.side = 1 THEN {w1} ELSE {w2} END AS w"
+        f" FROM {_gt('gt_slots')} s JOIN b USING (doc_id)"
+        f" WHERE (CASE WHEN s.side = 1 THEN {w1} ELSE {w2} END) > 0), "
+        f"u AS (SELECT format, 'usage' AS kind, species AS a, '' AS b,"
+        f" SUM(w) AS weight FROM s GROUP BY 1, 3"
+        f" UNION ALL SELECT format, 'lead', species, '', SUM(w) FROM s"
+        f"  WHERE slot = 0 GROUP BY 1, 3"
+        f" UNION ALL SELECT format, 'item', species, item, SUM(w) FROM s"
+        f"  GROUP BY 1, 3, 4"
+        f" UNION ALL SELECT format, 'move', species, m.mv, SUM(w)"
+        f"  FROM s, LATERAL (VALUES (s.move1), (s.move2), (s.move3),"
+        f"  (s.move4)) AS m(mv) GROUP BY 1, 3, 4"
+        f" UNION ALL SELECT a.format, 'pair', LEAST(a.species, b2.species),"
+        f"  GREATEST(a.species, b2.species), SUM(a.w)"
+        f"  FROM s a JOIN s b2 ON a.doc_id = b2.doc_id AND a.side = b2.side"
+        f"  AND a.slot > b2.slot GROUP BY 1, 3, 4) "
+        f"SELECT format, kind, a, b, ROUND(weight, 4) AS weight FROM u"
+        f" ORDER BY format, kind, a, b")
 
 
 def _q_format_days(sf_dir: str):
@@ -551,12 +607,16 @@ def _sql_player_wins():
 
 
 def _sql_top_teams():
+    part = ("s.species || '|' || s.item || '|' || s.move1 || ',' ||"
+            " s.move2 || ',' || s.move3 || ',' || s.move4")
     return (
         f"WITH b AS {_b_cte()}, "
         f"teams AS (SELECT s.doc_id, s.side, b.format,"
-        f" STRING_AGG(s.species, '|' ORDER BY s.slot) AS team_key,"
-        f" ANY_VALUE(CASE WHEN s.side=1 THEN COALESCE(b.p1_rpr, -1)"
-        f"   ELSE COALESCE(b.p2_rpr, -1) END) AS rating"
+        f" STRING_AGG({part}, ']' ORDER BY s.slot) AS team_key,"
+        f" ANY_VALUE(CASE"
+        f"   WHEN s.side=1 AND b.p1_has_rating THEN b.p1_rpr - b.p1_rprd"
+        f"   WHEN s.side=2 AND b.p2_has_rating THEN b.p2_rpr - b.p2_rprd"
+        f"   ELSE 0 END) AS rating"
         f" FROM {_gt('gt_slots')} s JOIN b USING (doc_id) GROUP BY 1, 2, 3), "
         f"best AS (SELECT format, team_key, MAX(rating) AS rating FROM teams"
         f" GROUP BY 1, 2) "
@@ -674,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "battle_mono_usage": _q_mono_usage,
         "battle_rating_percentile": _q_rating_percentile,
         "battle_binary_roundtrip": _q_binary_roundtrip,
+        "battle_binary_stats": _q_binary_stats,
     }
     from stats_ray.ops import queries as generic
     q.update(generic.QUERIES)
@@ -744,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "battle_mono_usage": _sql_mono_usage(),
         "battle_rating_percentile": _sql_rating_percentile(),
         "battle_binary_roundtrip": _sql_binary_roundtrip(),
+        "battle_binary_stats": _sql_binary_stats(),
     }
     from stats_ray.ops import queries as generic
     sql.update(generic.ORACLES)

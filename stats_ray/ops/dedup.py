@@ -116,9 +116,11 @@ class ShingleHashes:
     moves fixed-width buffers, not text."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # serialized as bytes: plain object columns dodge Ray's pandas
+        # tensor-extension coercion of ndarray-valued cells
         sh = [np.unique(np.fromiter((_hash64(s) for s in
                                      _shingle_set(t.split())),
-                                    dtype=np.uint64))
+                                    dtype=np.uint64)).tobytes()
               for t in df["text"]]
         return pd.DataFrame({"doc_id": df["doc_id"], "sh": sh})
 
@@ -130,16 +132,62 @@ def _sorted_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _attach_by_key(pairs: Dataset, sigs: Dataset, key_col: str,
+                   carry: list[str], out_col: str) -> Dataset:
+    """Distributed equi-join of one signature column onto pair rows via the
+    union + groupby pattern: both sides co-partition on the key with the
+    same exchange the aggregate layer uses. (Ray's experimental hash-join
+    operator is avoided — it stalls on small local clusters.)
+
+    pairs columns: [id1, id2] + carry; output adds `out_col` (the matched
+    doc's shingle array)."""
+    cols = ["id1", "id2"] + carry
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["key_"] = df[key_col].astype(np.int64)
+        out["sig_"] = [b""] * len(df)
+        out["is_sig_"] = np.int8(0)
+        return out[["key_"] + cols + ["sig_", "is_sig_"]]
+
+    def tag_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key_": df["doc_id"].astype(np.int64)})
+        out["id1"] = np.int64(-1)
+        out["id2"] = np.int64(-1)
+        for c in carry:
+            out[c] = [b""] * len(df)
+        out["sig_"] = list(df["sh"])
+        out["is_sig_"] = np.int8(1)
+        return out[["key_"] + cols + ["sig_", "is_sig_"]]
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pandas").union(
+        sigs.map_batches(tag_sigs, batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sig_rows = g[g["is_sig_"] == 1]
+        pair_rows = g[g["is_sig_"] == 0]
+        out = pair_rows[cols].copy()
+        if sig_rows.empty or pair_rows.empty:
+            out = out.iloc[0:0]
+            out[out_col] = pd.Series(dtype=object)
+            return out
+        sig = sig_rows["sig_"].iloc[0]
+        out[out_col] = [sig] * len(out)
+        return out
+
+    return tagged.groupby("key_").map_groups(merge, batch_format="pandas")
+
+
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
-                      num_perm: int = 64, bands: int = 16,
-                      num_partitions: int = 16) -> pd.DataFrame:
+                      num_perm: int = 64, bands: int = 16) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
 
     Fully distributed: banded groupby generates same-bucket candidate
     pairs, a (id1, id2) groupby dedups them, and verification joins the
-    docs' shingle-hash arrays to the pairs (two hash joins) and computes
-    Jaccard inside map_batches — no driver-side text dict or per-pair
-    driver loop. Only the final (small) verified-pair table materializes."""
+    docs' shingle-hash arrays onto the pairs (two key-partitioned
+    exchanges) and computes Jaccard inside the workers — no driver-side
+    text dict or per-pair driver loop. Only the final (small)
+    verified-pair table materializes."""
     docs = read_documents(sf_dir, ["doc_id", "text"])
     banded = docs.map_batches(MinHashBands,
                               fn_constructor_kwargs={"num_perm": num_perm,
@@ -160,18 +208,22 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
     cands = cands.groupby(["id1", "id2"]).map_groups(
         lambda df: df.head(1), batch_format="pandas")
 
+    # materialized once: consumed by BOTH attach passes (re-deriving the
+    # signatures per consumer would double the actor pools and recompute
+    # the shingling; the signature table is fixed-width and spills cleanly)
     sigs = docs.map_batches(ShingleHashes, batch_format="pandas",
-                            concurrency=(1, 8))
-    j1 = cands.join(sigs, "inner", num_partitions, on=("id1",),
-                    right_on=("doc_id",))
-    j2 = j1.join(sigs.map_batches(
-        lambda df: df.rename(columns={"sh": "sh2"}), batch_format="pandas"),
-        "inner", num_partitions, on=("id2",), right_on=("doc_id",))
+                            concurrency=2).materialize()
+    j1 = _attach_by_key(cands, sigs, "id1", [], "sh1")
+    j2 = _attach_by_key(j1, sigs, "id2", ["sh1"], "sh2")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.array([_sorted_jaccard(np.asarray(a, dtype=np.uint64),
-                                        np.asarray(b, dtype=np.uint64))
-                        for a, b in zip(df["sh"], df["sh2"])])
+        if df.empty:
+            return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                                 "id2": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        jac = np.array([_sorted_jaccard(np.frombuffer(a, dtype=np.uint64),
+                                        np.frombuffer(b, dtype=np.uint64))
+                        for a, b in zip(df["sh1"], df["sh2"])])
         out = pd.DataFrame({"id1": df["id1"], "id2": df["id2"],
                             "jaccard": np.round(jac, 6)})
         return out[out["jaccard"] >= threshold]

@@ -152,6 +152,90 @@ def render_reports(parsed: Dataset, out_dir: str, *, formats=None,
     return written
 
 
+def project_tag(parsed: Dataset, fmt: str, tag: str) -> Dataset:
+    """Tag-shard projection (stats.ts:157-199 updateTagged for one tag):
+    keep only <fmt> battles; for each side whose team lacks <tag>, drop its
+    slots / tags (no per-species, metagame or stalliness contribution) and
+    sentinel its lead as 'skip' (no lead count) — while the battle itself
+    still counts for battles/encounters with the original min weights."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["format"], fmt)
+        t = t.filter(keep)
+        if len(t) == 0:
+            return t
+        import numpy as np
+        out = {name: t[name] for name in t.column_names}
+        for j, side in enumerate(("p1", "p2")):
+            tags = t[f"{side}_tags"].to_pylist()
+            has = np.array([tag in (ts or []) for ts in tags])
+            # drop untagged side's tags
+            out[f"{side}_tags"] = pa.array(
+                [ts if h else [] for ts, h in zip(tags, has)],
+                type=pa.list_(pa.string()))
+            # sentinel untagged side's lead
+            leads = t[f"lead{j + 1}"].to_pylist()
+            out[f"lead{j + 1}"] = pa.array(
+                [ld if (h or ld == "empty") else "skip"
+                 for ld, h in zip(leads, has)])
+        # drop untagged sides' slots
+        slots = t["slots"].to_pylist()
+        p1tag = [len(ts) > 0 for ts in out["p1_tags"].to_pylist()]
+        p2tag = [len(ts) > 0 for ts in out["p2_tags"].to_pylist()]
+        out["slots"] = pa.array(
+            [[s for s in sl
+              if (s["side"] == 1 and h1) or (s["side"] == 2 and h2)]
+             for sl, h1, h2 in zip(slots, p1tag, p2tag)],
+            type=t.schema.field("slots").type)
+        return pa.table(out)
+
+    return parsed.map_batches(fn, batch_format="pyarrow")
+
+
+def render_monotype_reports(parsed: Dataset, out_dir: str,
+                            fmt: str = "gen9monotype",
+                            tags=None, dex_name: str = "synth") -> dict:
+    """Per-shard report fan-out (workflows/smogon/stats.ts:110-121,159-196):
+    the full report set per mono<type> shard under out_dir/monotype/<tag>/."""
+    import os
+
+    from .. import dex as dexmod
+    from ..gendex import get_dex
+    from ..stages import reports as R
+
+    dx = get_dex(dex_name)
+    written = {}
+    for tag in (tags or dexmod.MONOTYPE_SHARDS):
+        shard = project_tag(parsed, fmt, tag).materialize()
+        if shard.count() == 0:
+            continue
+        aggs = {name: AGG_FAMILIES[name](shard).to_pandas()
+                for name in REPORT_FAMILIES}
+        for cutoff in dexmod.cutoffs_for(fmt):
+            view = R.collect_view(aggs, fmt, cutoff, dx)
+            movesets = R.to_moveset_statistics(view, fmt)
+            outputs = {
+                "usage": R.usage_report(view),
+                "leads": R.leads_report(view),
+                "moveset": R.moveset_report(view, movesets),
+                "chaos": R.detailed_moveset_report(view, tag=tag,
+                                                   movesets=movesets),
+                "metagame": R.metagame_report(view),
+                "display": R.display_statistics(view),
+            }
+            d = os.path.join(out_dir, "monotype", tag)
+            os.makedirs(d, exist_ok=True)
+            paths = {}
+            for kind, text in outputs.items():
+                ext = "json" if kind in ("chaos", "display") else "txt"
+                path = os.path.join(d, f"{fmt}-{cutoff}.{kind}.{ext}")
+                with open(path, "w") as f:
+                    f.write(text)
+                paths[kind] = path
+            written[(tag, cutoff)] = paths
+    return written
+
+
 def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
                  concurrency=None) -> dict[str, int]:
     """Parse once, route to parquet, then aggregate each family from the

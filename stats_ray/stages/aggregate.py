@@ -57,6 +57,14 @@ def _pt(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _pt_stable(df: pd.DataFrame) -> pa.Table:
+    """Arrow table with metadata stripped: map_groups outputs carrying
+    pandas metadata defeat Ray's schema dedup (the 'Failed to hash the
+    schemas' log spam) — a bare schema hashes cleanly."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
 def _side_w(t: pa.Table, parent: np.ndarray, side: np.ndarray,
             prefix: str = "w") -> dict[str, np.ndarray]:
     """per-slot weight columns w0..w3 (or m0..m3) resolved by side."""
@@ -87,9 +95,9 @@ def _hash_grouped(part: Dataset, keys: list[str], how: str = "sum",
         bucket = (h % np.uint64(nbuckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(bucket))
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
+    def agg(df: pd.DataFrame) -> pa.Table:
         g = df.drop(columns="bucket").groupby(keys, as_index=False, sort=False)
-        return g.sum() if how == "sum" else g.max()
+        return _pt_stable(g.sum() if how == "sum" else g.max())
 
     return (part.map_batches(bucketize, batch_format="pyarrow")
             .groupby("bucket").map_groups(agg, batch_format="pandas"))
@@ -253,7 +261,11 @@ def _explode_leads(t: pa.Table) -> pa.Table:
                 "lead_raw": 1}
         for k in _CUTS:
             cols[f"w{k}"] = _col(t, f"p{side}_w{k}")[counted]
-        frames.append(pd.DataFrame(cols))
+        df_side = pd.DataFrame(cols)
+        # 'skip' = tag-shard sentinel: this side's team lacks the shard tag,
+        # so its lead doesn't count, but the battle still does
+        # (stats.ts:543-545 updateLeads tag gate)
+        frames.append(df_side[df_side["species"] != "skip"])
     df = pd.concat(frames, ignore_index=True)
     out = df.groupby(["format", "species"], as_index=False, sort=False).sum()
     return _pt(out)

@@ -99,8 +99,14 @@ class EncodeBinary:
         base = HEADER + ((side - 1) * N_MONS + slot) * MON_SIZE
 
         def put(field_off, col, ix):
-            vals = np.array([ix[v] for v in col.to_pylist()], dtype=np.uint8)
-            rows[parent, base + field_off] = vals
+            # dictionary-encode once, map the (tiny) dictionary through the
+            # ordinal table, then take — no per-value Python in the hot path
+            enc = col.dictionary_encode()
+            dict_vals = enc.dictionary.to_pylist()
+            lut = np.fromiter((ix[v] for v in dict_vals), np.uint8,
+                              len(dict_vals))
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            rows[parent, base + field_off] = lut[codes]
 
         put(0, flat.field("species"), lk.species_ix)
         put(1, flat.field("item"), lk.item_ix)
@@ -109,10 +115,15 @@ class EncodeBinary:
         for m in range(4):
             put(4 + m, flat.field(f"move{m + 1}"), lk.move_ix)
 
+        # one flat buffer view, sliced by fixed offsets (no per-row copy)
+        flat_bytes = rows.tobytes()
+        offsets = pa.array(np.arange(0, (n + 1) * ROW_SIZE, ROW_SIZE,
+                                     dtype=np.int32))
+        row_col = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, offsets.buffers()[1], pa.py_buffer(flat_bytes)])
         return pa.table({
-            "format": t["format"], "ts_ms": t["ts_ms"],
-            "row": pa.array(list(rows.tobytes()[i * ROW_SIZE:(i + 1) * ROW_SIZE]
-                                 for i in range(n)), type=pa.binary()),
+            "format": t["format"], "ts_ms": t["ts_ms"], "row": row_col,
         })
 
 
@@ -168,6 +179,99 @@ def binary_db(parsed: Dataset, out_dir: str) -> None:
     enc = parsed.map_batches(EncodeBinary, batch_format="pyarrow",
                              concurrency=(1, 8))
     enc.sort(["format", "ts_ms"]).write_parquet(out_dir)
+
+
+def binary_stats_tables(db: Dataset, cutoff: float = 1630.0) -> Dataset:
+    """A14: the dense probability tables binary.ts:244-381 computes from the
+    logs db — species usage, leads (team slot 0), move x species,
+    item x species and species x species co-occurrence — as ONE long-form
+    aggregate: (format, kind, a, b) -> summed weight.
+
+    Weights come from the codec's ROUNDED ratings via util.weighting
+    (binary.ts:283-287): unrated players are skipped, no validity
+    imputation. One map_batches explode with in-batch partial combine, one
+    groupby — the same shuffle shape as the main aggregate families."""
+    from ..functions.weights import weighting
+
+    def explode(t: pa.Table) -> pa.Table:
+        lk = Lookup()
+        raw = t["row"].combine_chunks()
+        buf = b"".join(raw.to_pylist())
+        n = len(t)
+        rows = np.frombuffer(buf, dtype=np.uint8).reshape(n, ROW_SIZE)
+        fmt = t["format"].to_numpy(zero_copy_only=False)
+
+        # object dtype: np.minimum/maximum have no unicode loop
+        species_arr = np.array(lk.species + ["empty"], dtype=object)
+        item_arr = np.array(lk.items + [""], dtype=object)
+        move_arr = np.array(lk.moves + [""], dtype=object)
+        team = rows[:, HEADER:].reshape(n, 2 * N_MONS, MON_SIZE)
+
+        frames = []
+        for j in range(2):
+            off = 12 + 3 * j
+            rpr = rows[:, off:off + 2].copy().view("<u2").reshape(n)
+            rprd = rows[:, off + 2].astype(np.float64)
+            has = rpr != 0xFFFF
+            r = rpr.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                w = weighting(r, rprd, cutoff)
+            # rd == 0: erf((r-c)/0) -> sign (binary.ts keeps these)
+            zero_rd = rprd == 0.0
+            w = np.where(zero_rd & (r > cutoff), 1.0, w)
+            w = np.where(zero_rd & (r < cutoff), 0.0, w)
+            w = np.where(zero_rd & (r == cutoff), 0.5, w)
+            w = np.where(has, w, 0.0)
+
+            side = team[:, j * N_MONS:(j + 1) * N_MONS, :]
+            sp = side[:, :, 0].copy()
+            sp[sp == 0xFF] = len(lk.species)
+            it = side[:, :, 1].copy()
+            it[it == 0xFF] = len(lk.items)
+            present = side[:, :, 0] != 0xFF
+
+            b_ix, m_ix = np.nonzero(present)
+            wv = w[b_ix]
+            keep = wv > 0.0
+            b_ix, m_ix, wv = b_ix[keep], m_ix[keep], wv[keep]
+            sp_n = species_arr[sp[b_ix, m_ix]]
+            frames.append(pd.DataFrame({
+                "format": fmt[b_ix], "kind": "usage", "a": sp_n, "b": "",
+                "weight": wv}))
+            lead = m_ix == 0
+            frames.append(pd.DataFrame({
+                "format": fmt[b_ix][lead], "kind": "lead",
+                "a": sp_n[lead], "b": "", "weight": wv[lead]}))
+            frames.append(pd.DataFrame({
+                "format": fmt[b_ix], "kind": "item", "a": sp_n,
+                "b": item_arr[it[b_ix, m_ix]], "weight": wv}))
+            for mv in range(4):
+                mvix = side[:, :, 4 + mv].copy()
+                mvix[mvix == 0xFF] = len(lk.moves)
+                frames.append(pd.DataFrame({
+                    "format": fmt[b_ix], "kind": "move", "a": sp_n,
+                    "b": move_arr[mvix[b_ix, m_ix]], "weight": wv}))
+            # species x species pairs within the team (j2 < j1)
+            for hi in range(1, N_MONS):
+                for lo in range(hi):
+                    both = present[:, hi] & present[:, lo] & (w > 0.0)
+                    if not both.any():
+                        continue
+                    s1 = species_arr[sp[both, hi]]
+                    s2 = species_arr[sp[both, lo]]
+                    frames.append(pd.DataFrame({
+                        "format": fmt[both], "kind": "pair",
+                        "a": np.minimum(s1, s2), "b": np.maximum(s1, s2),
+                        "weight": w[both]}))
+        df = pd.concat(frames, ignore_index=True)
+        out = df.groupby(["format", "kind", "a", "b"],
+                         as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    part = db.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+    return part.groupby(["format", "kind", "a", "b"]).aggregate(
+        Sum("weight", alias_name="weight"))
 
 
 def species_counts_from_db(db_dir: str) -> Dataset:

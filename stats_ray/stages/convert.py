@@ -11,7 +11,7 @@ import json
 import os
 
 from .reports import (parse_leads_report, parse_metagame_report,
-                      parse_usage_report)
+                      parse_usage_report, partial_parse_moveset_report)
 
 
 def convert_reports(reports_dir: str, out_dir: str,
@@ -41,6 +41,15 @@ def convert_reports(reports_dir: str, out_dir: str,
             unified["total_leads"] = lr["total_leads"]
             for name, row in lr["leads"].items():
                 unified["pokemon"].setdefault(name, {})["lead"] = row
+
+        moveset_path = os.path.join(reports_dir, "moveset", fname)
+        if os.path.exists(moveset_path):
+            with open(moveset_path) as f:
+                pmr = partial_parse_moveset_report(f.read())
+            for name, data in pmr.items():
+                entry = unified["pokemon"].setdefault(name, {})
+                entry["weight"] = data["weight"]
+                entry["counters"] = data["outcomes"]
 
         meta_path = os.path.join(reports_dir, "metagame", fname)
         if os.path.exists(meta_path):

@@ -749,6 +749,60 @@ def parse_leads_report(report: str):
     return {"total_leads": total, "leads": leads}
 
 
+_CC_SPECIES = re.compile(r"\| (.*) [-+.0-9]+ \([-+.0-9]+±[-+.0-9]+\)")
+_CC_OUTCOME = re.compile(
+    r"\|\W+\(([-+.0-9]+)% KOed / ([-+.0-9]+)% switched out\)")
+_WEIGHT_NUM = re.compile(r"\d[\d.]*")
+
+
+def partial_parse_moveset_report(report: str):
+    """display.ts:432-483 partialParseMovesetReport — recover each species'
+    average weight and checks-and-counters outcome percentages from the
+    basic moveset text report (the S10 inverse needed by `convert` to
+    rebuild the unified display JSON from published legacy reports)."""
+    movesets: dict[str, dict] = {}
+    species = ""
+    s = ""
+    in_cc = False
+    cc_line = 0
+    section_lines = 0
+    prev_section_empty = False
+    for line in report.split("\n"):
+        if line.lstrip().startswith("+"):
+            prev_section_empty = section_lines == 0
+            in_cc = False
+            cc_line = 0
+            section_lines = 0
+            continue
+        section_lines += 1
+        if "Checks and Counters" in line:
+            in_cc = True
+            cc_line = 0
+            continue
+        if section_lines == 1 and prev_section_empty:
+            parts = line.split("|")
+            species = parts[1].strip() if len(parts) > 1 else ""
+            continue
+        if species not in movesets and "Avg. weight" in line:
+            m = _WEIGHT_NUM.search(line)
+            movesets[species] = {"weight": float(m.group(0)) if m else None,
+                                 "outcomes": {}}
+            continue
+        if in_cc:
+            cc_line += 1
+            if cc_line % 2 == 1:
+                m = _CC_SPECIES.search(line)
+                s = m.group(1) if m else ""
+            else:
+                m = _CC_OUTCOME.search(line)
+                if m and species in movesets:
+                    movesets[species]["outcomes"][s] = {
+                        "koedn": float(m.group(1)) / 100,
+                        "switchedn": float(m.group(2)) / 100,
+                    }
+    return movesets
+
+
 def parse_metagame_report(report: str):
     tags = {}
     mean = None

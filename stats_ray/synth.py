@@ -460,6 +460,21 @@ def _gt_player_weights(has_rating, rpr, rprd, outcome, cutoffs):
     return [_gt_weight(r, d, c) for c in cutoffs], valid
 
 
+def _gt_binary_weight(rating, cutoff=1630.0):
+    """Binary-db stats weight (binary.ts:284-287): the codec's ROUNDED
+    rating (u16 rpr / u8 rprd), no validity imputation, util.weighting
+    semantics — math.erf, independent of the engine's Cody erf."""
+    if rating is None:
+        return 0.0
+    rpr = float(min(max(round(rating["rpr"]), 0), 0xFFFE))
+    rprd = float(min(max(round(rating["rprd"]), 0), 255))
+    if rprd > 100 and cutoff > 1500:
+        return 0.0
+    if rprd == 0:
+        return 1.0 if rpr > cutoff else (0.0 if rpr < cutoff else 0.5)
+    return (math.erf((rpr - cutoff) / rprd / math.sqrt(2.0)) + 1.0) / 2.0
+
+
 def _gt_gxe(rpr, rprd):
     c = (3.0 * math.log(10.0) ** 2.0) / (400.0 * math.pi) ** 2
     d = rprd ** 2.0 + 130.0 ** 2.0
@@ -623,6 +638,8 @@ def gen_battle(i: int) -> dict:
         "p2_bias": bias2, "p2_stalliness": stall2,
         "slots": slots, "matchups": matchups, "tags": tags,
     }
+    row["p1_bw"] = _gt_binary_weight(rating1)
+    row["p2_bw"] = _gt_binary_weight(rating2)
     for k in range(4):
         row[f"cutoff{k}"] = cutoffs[k]
         row[f"p1_w{k}"] = w1[k]
@@ -651,6 +668,7 @@ _SCALARS = [
     ("lead1", pa.string()), ("lead2", pa.string()),
     ("p1_bias", pa.int32()), ("p1_stalliness", pa.float64()),
     ("p2_bias", pa.int32()), ("p2_stalliness", pa.float64()),
+    ("p1_bw", pa.float64()), ("p2_bw", pa.float64()),
     ("cutoff0", pa.int32()), ("cutoff1", pa.int32()),
     ("cutoff2", pa.int32()), ("cutoff3", pa.int32()),
     ("p1_w0", pa.float64()), ("p1_w1", pa.float64()),

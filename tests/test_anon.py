@@ -35,7 +35,12 @@ def test_salted_mode_deterministic():
 
 def test_nicknames_become_species():
     doc = _doc()
+    # rename consistently: the stored name AND every protocol ident (the
+    # anonymizer raises on idents it cannot map — anon/src/index.ts:433-440)
+    old = doc["p1team"][0].get("name") or doc["p1team"][0]["species"]
     doc["p1team"][0]["name"] = "SuperSecretNick"
+    doc["log"] = [ln.replace(f"p1a: {old}", "p1a: SuperSecretNick")
+                  for ln in doc["log"]]
     anon = anonymize_doc(doc)
     names = [p["name"] for p in anon["p1team"]]
     assert "SuperSecretNick" not in names
