@@ -205,10 +205,12 @@ def _explode_movesets(t: pa.Table) -> pa.Table:
     side = flat.field("side").to_numpy()
     species = flat.field("species").to_numpy(zero_copy_only=False)
     # count-maps accumulate the m-weight (stats.ts:311-357); empty slots
-    # carry no per-set stats
+    # carry no per-set stats (filter only when legacy padding present —
+    # the all-True filter would copy the whole struct array)
     keep = species != "empty"
-    parent, side, species = parent[keep], side[keep], species[keep]
-    flat = flat.filter(pa.array(keep))
+    if not keep.all():
+        parent, side, species = parent[keep], side[keep], species[keep]
+        flat = flat.filter(pa.array(keep))
     fmt = _col(t, "format")[parent]
     w = _side_w(t, parent, side, prefix="m")
 
@@ -368,6 +370,8 @@ def _explode_teammates(t: pa.Table) -> pa.Table:
 
     short = _col(t, "short")
     fmt = _col(t, "format")
+    # one vectorized pass; avoids 2n tiny object-array compares in the loop
+    nonempty = species != "empty"
 
     pa_idx, pb_idx, pparent = [], [], []
     for b in range(len(t)):
@@ -375,11 +379,11 @@ def _explode_teammates(t: pa.Table) -> pa.Table:
             continue
         lo, hi = offsets[b], offsets[b + 1]
         sd = side[lo:hi]
-        sp = species[lo:hi]
+        ne = nonempty[lo:hi]
         for s in (1, 2):
             # real-real pairs only; legacy empty-slot teammate entries are a
             # separate last-writer family (teammate_empty_lastwriter)
-            idx = np.nonzero((sd == s) & (sp != "empty"))[0] + lo
+            idx = np.nonzero((sd == s) & ne)[0] + lo
             n = len(idx)
             if n < 2:
                 continue
@@ -572,8 +576,9 @@ def _explode_unique(t: pa.Table) -> pa.Table:
     parent, flat = _flat_slots(t)
     species = flat.field("species").to_numpy(zero_copy_only=False)
     keep = species != "empty"
-    parent, species = parent[keep], species[keep]
-    flat = flat.filter(pa.array(keep))
+    if not keep.all():
+        parent, species = parent[keep], species[keep]
+        flat = flat.filter(pa.array(keep))
     side = flat.field("side").to_numpy()
     player = flat.field("player").to_numpy(zero_copy_only=False)
     real = (flat.field("turns_out").to_numpy() > 0).astype(np.int64)
