@@ -43,7 +43,26 @@ def run_bench() -> dict:
     from stats_ray.pipelines import usage as pl
 
     corpus = synth.ensure_corpus(sf_dir)  # untimed, cached
-    n_battles = ray.data.read_parquet(f"{corpus}/battles").count()  # warms cache
+    n_battles = ray.data.read_parquet(f"{corpus}/battles").count()
+
+    # Warm the page cache for the pipeline's input files (untimed). count()
+    # above resolves from parquet footers without touching the data pages, so
+    # on a cold cache the first timed stage would otherwise pay the full disk
+    # read and the measurement would reflect storage, not the engine.
+    import concurrent.futures
+    import glob
+
+    def _slurp(path: str) -> int:
+        n = 0
+        with open(path, "rb") as f:
+            while chunk := f.read(1 << 22):
+                n += len(chunk)
+        return n
+
+    files = [p for p in glob.glob(f"{corpus}/battles/**/*", recursive=True)
+             if os.path.isfile(p)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(_slurp, files))
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -63,8 +63,9 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFra
                 frames.append(pd.DataFrame({
                     "query_id": qid, "neighbor_id": ids[mask][idx],
                     "sim": s[mask][idx]}))
-            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                        preserve_index=False)
+            return pa.Table.from_pandas(
+                pd.concat(frames, ignore_index=True),
+                preserve_index=False).replace_schema_metadata(None)
 
     cands = ds.map_batches(Score, batch_format="pyarrow",
                            concurrency=(1, 8)).to_pandas()
@@ -165,8 +166,9 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
                     "vec_id": ids, "band": np.int32(b),
                     "code": codes.astype(np.int32),
                     "embedding": list(mn)}))
-            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                        preserve_index=False)
+            return pa.Table.from_pandas(
+                pd.concat(frames, ignore_index=True),
+                preserve_index=False).replace_schema_metadata(None)
 
     coded = ds.map_batches(Code, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -253,8 +255,9 @@ def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                 frames.append(pd.DataFrame({
                     "query_id": qid, "neighbor_id": sub[m2][idx],
                     "sim": s[m2][idx]}))
-            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                        preserve_index=False)
+            return pa.Table.from_pandas(
+                pd.concat(frames, ignore_index=True),
+                preserve_index=False).replace_schema_metadata(None)
 
     cands = ds.map_batches(Score, batch_format="pyarrow",
                            concurrency=(1, 8)).to_pandas()

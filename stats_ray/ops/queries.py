@@ -224,6 +224,114 @@ FROM y GROUP BY 1, 2
 """
 
 
+def _q_asof_prior_view(sf_dir: str):
+    from .window import events_asof_prior_view
+    return events_asof_prior_view(sf_dir)
+
+
+_SQL_ASOF_PRIOR_VIEW = """
+WITH v AS (SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       CAST(COALESCE(v.view_id, -1) AS BIGINT) AS view_id,
+       CAST(COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def _q_cum_user(sf_dir: str):
+    from .window import events_cum_user
+    return events_cum_user(sf_dir)
+
+
+_SQL_CUM_USER = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def _q_sliding_7d(sf_dir: str):
+    from .window import events_sliding_7d
+    df = events_sliding_7d(sf_dir)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+_SQL_SLIDING_7D = """
+WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT day, n, ROUND(AVG(n) OVER (ORDER BY day ROWS 6 PRECEDING), 4) AS ma7
+FROM d
+"""
+
+
+def _q_value_quantiles(sf_dir: str):
+    from .window import events_value_quantiles
+    return events_value_quantiles(sf_dir)
+
+
+_SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1
+"""
+
+
+def _q_range_join(sf_dir: str):
+    from .relational import range_join_bands
+    df = _pd(range_join_bands(sf_dir))
+    df["n"] = df["n"].astype("int64")
+    return _r4(df, ["sum_price"])
+
+
+_SQL_RANGE_JOIN = """
+WITH bands(lo, hi, band) AS (VALUES
+  (0, 10, '[0,10)'), (10, 20, '[10,20)'), (20, 30, '[20,30)'),
+  (30, 40, '[30,40)'), (40, 60, '[40,60)'))
+SELECT b.band, l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l.l_extendedprice), 4) AS sum_price
+FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY 1, 2
+"""
+
+
+def _q_vocab_topk(sf_dir: str):
+    from .text import vocab_topk
+    return vocab_topk(sf_dir)
+
+
+_SQL_VOCAB_TOPK = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents)
+WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
+"""
+
+
+def _q_sample_det(sf_dir: str):
+    from .text import sample_deterministic
+    return _pd(sample_deterministic(sf_dir))
+
+
+_SQL_SAMPLE_DET = """
+SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+"""
+
+
 # --- rows-only (non-SQL-expressible) -----------------------------------------
 
 def _q_minhash(sf_dir: str):
@@ -287,6 +395,13 @@ QUERIES = {
     "ann_lsh_topk": _q_lsh_topk,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "events_approx_users": _q_approx_users,
+    "events_asof_prior_view": _q_asof_prior_view,
+    "events_cum_user": _q_cum_user,
+    "events_sliding_7d": _q_sliding_7d,
+    "events_value_quantiles": _q_value_quantiles,
+    "range_join_bands": _q_range_join,
+    "doc_vocab_topk": _q_vocab_topk,
+    "doc_sample_det": _q_sample_det,
 }
 
 ORACLES = {
@@ -302,6 +417,13 @@ ORACLES = {
     "doc_fingerprints": _SQL_FINGERPRINTS,
     "ann_cosine_topk": _SQL_ANN_TOPK,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+    "events_asof_prior_view": _SQL_ASOF_PRIOR_VIEW,
+    "events_cum_user": _SQL_CUM_USER,
+    "events_sliding_7d": _SQL_SLIDING_7D,
+    "events_value_quantiles": _SQL_VALUE_QUANTILES,
+    "range_join_bands": _SQL_RANGE_JOIN,
+    "doc_vocab_topk": _SQL_VOCAB_TOPK,
+    "doc_sample_det": _SQL_SAMPLE_DET,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

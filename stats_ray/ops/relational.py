@@ -39,7 +39,8 @@ def tpch_q1(sf_dir: str) -> Dataset:
         })
         return pa.Table.from_pandas(
             df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
-                       sort=False).sum(), preserve_index=False)
+                       sort=False).sum(),
+            preserve_index=False).replace_schema_metadata(None)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["l_returnflag", "l_linestatus"])
@@ -136,6 +137,38 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
         return out
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+QUANTITY_BANDS = [(0.0, 10.0), (10.0, 20.0), (20.0, 30.0),
+                  (30.0, 40.0), (40.0, 60.0)]
+
+
+def range_join_bands(sf_dir: str) -> Dataset:
+    """Broadcast range join: each lineitem row lands in the quantity band
+    whose [lo, hi) interval contains it, then a grouped rollup per
+    (band, returnflag). The small side (band edges) is bound into the task
+    closure once — an interval join with NO shuffle of the big side, the
+    100-TB shape for joining facts to a small set of ranges
+    (np.searchsorted per batch, not a per-row comparison join)."""
+    edges = np.array([b[0] for b in QUANTITY_BANDS[1:]])
+    labels = np.array([f"[{int(lo)},{int(hi)})" for lo, hi in QUANTITY_BANDS])
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_returnflag",
+                                 "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(edges, df["l_quantity"].to_numpy(), side="right")
+        out = pd.DataFrame({
+            "band": labels[idx],
+            "l_returnflag": df["l_returnflag"],
+            "n": np.int64(1),
+            "sum_price": df["l_extendedprice"],
+        })
+        return out.groupby(["band", "l_returnflag"], as_index=False).sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["band", "l_returnflag"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_price", alias_name="sum_price")))
 
 
 def price_percentiles(sf_dir: str) -> pd.DataFrame:

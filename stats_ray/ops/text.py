@@ -167,3 +167,65 @@ class Fingerprint:
 def fingerprints(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         Fingerprint, batch_format="pandas", concurrency=(1, 4))
+
+
+class VocabCount:
+    """Per-batch token counting for vocabulary building: lowercase, split on
+    non-alphanumeric runs, count with np.unique — one partial (token, cnt)
+    frame per batch, so the downstream groupby-sum shuffles vocabulary-sized
+    partials instead of raw token streams."""
+
+    def __init__(self):
+        self.split = re.compile(r"[^a-z0-9]+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df["text"]:
+            toks.extend(w for w in self.split.split(t.lower()) if w)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype="int64")})
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        return pd.DataFrame({"token": uniq, "cnt": counts.astype("int64")})
+
+
+def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Top-k vocabulary by frequency (corpus token histogram): in-batch
+    partial counts -> groupby-sum over the (vocab-sized) partials -> global
+    top-k with a deterministic (cnt desc, token asc) tiebreak. The sort runs
+    over distinct tokens only — shuffle volume is vocabulary-, not
+    corpus-sized."""
+    from ray.data.aggregate import Sum
+
+    counts = (read_documents(sf_dir, ["text"])
+              .map_batches(VocabCount, batch_format="pandas",
+                           concurrency=(1, 4))
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    top = (counts.sort(["cnt", "token"], descending=[True, False])
+           .limit(k).to_pandas())
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["token", "cnt"]]
+
+
+def sample_deterministic(sf_dir: str, hex_lt: str = "28") -> Dataset:
+    """Deterministic content-addressed sampling: keep a doc iff the first
+    byte of md5(doc_id) falls under the threshold (hex '28' = 40/256 ≈ 15.6%).
+    Reproducible across engines and runs with no seed state, stable under
+    repartitioning — the standard trick for carving held-out slices out of
+    a 100-TB corpus without a shuffle or a persisted sample list."""
+    import pyarrow as pa
+
+    def pick(df: pd.DataFrame):
+        bucket = df["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()[:2])
+        mask = bucket < hex_lt
+        # typed Arrow output so empty batches keep a concrete schema
+        return pa.table({
+            "doc_id": pa.array(df.loc[mask, "doc_id"].astype("int64")),
+            "lang": pa.array(df.loc[mask, "lang"], type=pa.string()),
+            "bucket": pa.array(bucket[mask], type=pa.string()),
+        })
+
+    return read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        pick, batch_format="pandas")

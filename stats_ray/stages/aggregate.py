@@ -54,15 +54,16 @@ def _flat_slots(t: pa.Table):
 
 
 def _pt(df: pd.DataFrame) -> pa.Table:
-    return pa.Table.from_pandas(df, preserve_index=False)
-
-
-def _pt_stable(df: pd.DataFrame) -> pa.Table:
-    """Arrow table with metadata stripped: map_groups outputs carrying
-    pandas metadata defeat Ray's schema dedup (the 'Failed to hash the
-    schemas' log spam) — a bare schema hashes cleanly."""
+    """Arrow table with metadata stripped: blocks carrying pandas schema
+    metadata are unhashable in pyarrow 16 and defeat Ray's schema dedup
+    (the 'Failed to hash the schemas' log spam) — a bare schema hashes
+    cleanly."""
     return pa.Table.from_pandas(df, preserve_index=False) \
         .replace_schema_metadata(None)
+
+
+# kept as an alias: every pandas->arrow exit now strips metadata
+_pt_stable = _pt
 
 
 def _side_w(t: pa.Table, parent: np.ndarray, side: np.ndarray,

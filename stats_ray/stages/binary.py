@@ -266,7 +266,8 @@ def binary_stats_tables(db: Dataset, cutoff: float = 1630.0) -> Dataset:
         df = pd.concat(frames, ignore_index=True)
         out = df.groupby(["format", "kind", "a", "b"],
                          as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
     part = db.map_batches(explode, batch_format="pyarrow", batch_size=4096)
@@ -294,7 +295,7 @@ def species_counts_from_db(db_dir: str) -> Dataset:
         df = pd.concat(frames, ignore_index=True)
         return pa.Table.from_pandas(
             df.groupby(["format", "species"], as_index=False, sort=False).sum(),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
     return (decoded.map_batches(explode, batch_format="pyarrow")

@@ -39,6 +39,9 @@ def _norm(df):
     "tpch_q1", "top_orders", "orders_by_nation", "events_daily",
     "events_user_stats", "dedup_exact", "doc_token_stats", "doc_quality",
     "doc_fingerprints", "ann_cosine_topk", "embedding_near_dup",
+    "events_asof_prior_view", "events_cum_user", "events_sliding_7d",
+    "events_value_quantiles", "range_join_bands", "doc_vocab_topk",
+    "doc_sample_det",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq

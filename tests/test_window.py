@@ -1,0 +1,110 @@
+"""Unit semantics for the windowed/ordered operators (ops/window.py):
+planted edge cases the sf-table oracle comparison can't isolate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def test_asof_join_edges(ray_session):
+    """No-prior-match -> NaN; exact-equal timestamp is an (inclusive)
+    match; latest-of-several wins."""
+    import ray.data
+
+    from stats_ray.ops.window import asof_join_grouped
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "t": [_ts("2024-01-01 00:00"),   # before any right row -> no match
+              _ts("2024-01-01 01:00"),   # == right row ts -> inclusive match
+              _ts("2024-01-01 09:00"),   # after both -> latest (02:00) wins
+              _ts("2024-01-01 05:00")],  # key with no right rows at all
+        "lid": [10, 11, 12, 13],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1],
+        "t": [_ts("2024-01-01 01:00"), _ts("2024-01-01 02:00")],
+        "rid": [100, 200],
+    })
+    out = asof_join_grouped(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", ts="t", left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    assert out["lid"].tolist() == [10, 11, 12, 13]
+    got = out["rid_r"].tolist()
+    assert np.isnan(got[0])          # nothing at or before 00:00
+    assert got[1] == 100             # inclusive at 01:00
+    assert got[2] == 200             # most recent of the two
+    assert np.isnan(got[3])          # key 2 has no right side
+
+
+def test_cumulative_order_and_restart(ray_session):
+    """Running counts restart per key and follow (ts, id) order."""
+    import ray.data
+
+    from stats_ray.ops.window import cumulative_per_key
+
+    df = pd.DataFrame({
+        "user": [7, 7, 7, 8],
+        "ts": [_ts("2024-01-01 02:00"), _ts("2024-01-01 01:00"),
+               _ts("2024-01-01 01:00"), _ts("2024-01-01 00:00")],
+        "id": [3, 2, 1, 9],
+    })
+
+    def kernel(g):
+        return pd.DataFrame({"id": g["id"],
+                             "cum_n": np.arange(1, len(g) + 1)})
+
+    out = cumulative_per_key(
+        ray.data.from_pandas(df), "user", ["ts", "id"], kernel
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # user 7 order: id1 (01:00), id2 (01:00, ts tie -> id asc), id3 (02:00)
+    assert dict(zip(out["id"], out["cum_n"])) == {1: 1, 2: 2, 3: 3, 9: 1}
+
+
+def test_range_join_band_edges(ray_session):
+    """Band boundaries are [lo, hi): quantity 10.0 lands in [10,20)."""
+    from stats_ray.ops.relational import QUANTITY_BANDS
+
+    edges = np.array([b[0] for b in QUANTITY_BANDS[1:]])
+    labels = [f"[{int(lo)},{int(hi)})" for lo, hi in QUANTITY_BANDS]
+    for q, want in [(0.0, "[0,10)"), (9.999, "[0,10)"), (10.0, "[10,20)"),
+                    (39.999, "[30,40)"), (40.0, "[40,60)"), (50.0, "[40,60)")]:
+        idx = int(np.searchsorted(edges, q, side="right"))
+        assert labels[idx] == want, q
+
+
+def test_vocab_topk_tiebreak(ray_session, tmp_path):
+    """Equal counts order alphabetically; k truncates deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.text import vocab_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["zeta alpha zeta Beta", "beta ALPHA midway"],
+        "lang": ["en", "en"],
+    })
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    top = vocab_topk(str(tmp_path), k=3)
+    # counts: alpha=2, beta=2, zeta=2, midway=1 -> top3 alphabetical
+    assert top["token"].tolist() == ["alpha", "beta", "zeta"]
+    assert top["cnt"].tolist() == [2, 2, 2]
+
+
+def test_sample_det_is_stable(ray_session):
+    """The same doc ids are chosen on every run (content-addressed)."""
+    from stats_ray.ops.text import sample_deterministic
+
+    sf = "/root/testdata/sf0.001"
+    a = sample_deterministic(sf).to_pandas().sort_values("doc_id")
+    b = sample_deterministic(sf).to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert 0 < len(a) < 500  # a strict, non-empty subset
