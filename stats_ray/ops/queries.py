@@ -320,6 +320,26 @@ WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
 """
 
 
+def _q_tfidf(sf_dir: str):
+    from .text import tfidf
+    return tfidf(sf_dir)
+
+
+_SQL_TFIDF = """
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                      AS token
+             FROM documents),
+t AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1, 2),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq FROM t GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT t.doc_id, t.token, t.tf,
+       ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / df.dfreq), 4) AS tfidf
+FROM t JOIN df ON t.token = df.token CROSS JOIN n
+"""
+
+
 def _q_sample_det(sf_dir: str):
     from .text import sample_deterministic
     return _pd(sample_deterministic(sf_dir))
@@ -369,6 +389,18 @@ def _q_lsh_topk(sf_dir: str):
     return df
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """t-digest per-event_type quantiles (mergeable sketch — rows-only:
+    approximate by design; accuracy vs exact pinned in tests)."""
+    import ray.data
+
+    from .sketch import approx_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return (approx_quantiles(ds, "event_type", "value")
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def _q_embedding_near_dup_lsh(sf_dir: str):
     """Approximate (LSH-bucketed) pair mining — the 100-TB path; rows-only
     check (recall vs the exact path is pinned in tests/test_ops.py)."""
@@ -402,6 +434,8 @@ QUERIES = {
     "range_join_bands": _q_range_join,
     "doc_vocab_topk": _q_vocab_topk,
     "doc_sample_det": _q_sample_det,
+    "doc_tfidf": _q_tfidf,
+    "events_approx_quantiles": _q_approx_quantiles,
 }
 
 ORACLES = {
@@ -424,6 +458,7 @@ ORACLES = {
     "range_join_bands": _SQL_RANGE_JOIN,
     "doc_vocab_topk": _SQL_VOCAB_TOPK,
     "doc_sample_det": _SQL_SAMPLE_DET,
+    "doc_tfidf": _SQL_TFIDF,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -123,3 +123,99 @@ def approx_unique_players(sf_dir_corpus_parsed, p: int = 12) -> pd.DataFrame:
     out = approx_distinct(ds, "key", "player", p)
     out[["format", "species"]] = out["key"].str.split("|", expand=True)
     return out[["format", "species", "approx_distinct"]]
+
+
+class TDigest:
+    """Mergeable t-digest quantile sketch (Dunning & Ertl, public algorithm),
+    vectorized: clustering assigns every point/centroid to a k1-scale bin
+    (arcsine scale function) in one numpy pass instead of a per-centroid
+    loop, so per-batch cost is O(n log n) for the sort.
+
+    Centroid count is bounded by ~delta, so one sketch is a few KiB
+    regardless of input size — the same shuffle-volume contract as HLL."""
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0)
+        self.weights = weights if weights is not None else np.empty(0)
+
+    def _cluster(self, means: np.ndarray, weights: np.ndarray) -> None:
+        if len(means) == 0:
+            self.means, self.weights = means, weights
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # mid-rank quantile of each centroid -> k1 scale -> integer bin
+        cum = np.cumsum(weights) - weights / 2.0
+        q = np.clip(cum / total, 0.0, 1.0)
+        k = (np.arcsin(2.0 * q - 1.0) / np.pi + 0.5) * self.delta
+        bins = np.floor(k).astype(np.int64)
+        # reduce per bin: weighted mean + weight sum
+        uniq, start = np.unique(bins, return_index=True)
+        wsum = np.add.reduceat(weights, start)
+        msum = np.add.reduceat(means * weights, start)
+        self.means = msum / wsum
+        self.weights = wsum
+
+    def add_many(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        all_m = np.concatenate([self.means, v])
+        all_w = np.concatenate([self.weights, np.ones(len(v))])
+        self._cluster(all_m, all_w)
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._cluster(np.concatenate([self.means, other.means]),
+                      np.concatenate([self.weights, other.weights]))
+        return self
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def serialize(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).tobytes()
+
+    @classmethod
+    def deserialize(cls, b: bytes, delta: int = 200) -> "TDigest":
+        arr = np.frombuffer(b, dtype=np.float64)
+        n = len(arr) // 2
+        return cls(delta, arr[:n].copy(), arr[n:].copy())
+
+
+def approx_quantiles(ds: Dataset, key_col: str, value_col: str,
+                     qs=(0.5, 0.9, 0.99), delta: int = 200) -> pd.DataFrame:
+    """Approximate per-key quantiles via mergeable t-digests — the scale
+    path for `events_value_quantiles` when one key's values no longer fit a
+    single worker (the exact kernel) or the key count explodes.
+
+    Same two-stage shape as approx_distinct: one serialized digest per key
+    per batch, tiny groupby merge, estimates read off the merged digest."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(key_col, sort=False):
+            d = TDigest(delta).add_many(g[value_col].to_numpy())
+            rows.append({key_col: k, "sketch": d.serialize()})
+        return pd.DataFrame(rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest(delta)
+        for b in g["sketch"]:
+            d.merge(TDigest.deserialize(bytes(b), delta))
+        row = {key_col: g[key_col].iloc[0]}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = round(d.quantile(q), 4)
+        return pd.DataFrame([row])
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    return (part.groupby(key_col).map_groups(merge, batch_format="pandas")
+            .to_pandas())

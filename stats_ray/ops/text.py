@@ -229,3 +229,60 @@ def sample_deterministic(sf_dir: str, hex_lt: str = "28") -> Dataset:
 
     return read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
         pick, batch_format="pandas")
+
+
+def tfidf(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF term weights per document: tf exact per doc (a doc is one
+    row, so term frequency needs no cross-batch combine), document
+    frequency from a vocabulary-sized groupby over distinct (doc, token)
+    rows, and idf broadcast back as a small lookup (`ray.put` once, read
+    per actor) — no second shuffle of the corpus-sized side.
+
+    Emits (doc_id, token, tf, tfidf = tf * ln(N / df))."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    split = re.compile(r"[^a-z0-9]+")
+
+    def term_freq(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            for w in split.split(t.lower()):
+                if w:
+                    ids.append(i)
+                    toks.append(w)
+        out = pd.DataFrame({"doc_id": np.asarray(ids, dtype="int64"),
+                            "token": toks})
+        return (out.groupby(["doc_id", "token"], as_index=False)
+                .agg(tf=("token", "size")))
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    tf = docs.map_batches(term_freq, batch_format="pandas").materialize()
+
+    # document frequency: (doc, token) rows are already distinct per doc
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("token", as_index=False)
+                .agg(dfreq=("doc_id", "size")))
+
+    dfreq = (tf.map_batches(df_partial, batch_format="pandas")
+             .groupby("token").aggregate(Sum("dfreq", alias_name="dfreq"))
+             .to_pandas())  # vocabulary-sized
+    idf = dict(zip(dfreq["token"],
+                   np.log(float(n_docs) / dfreq["dfreq"].to_numpy())))
+    idf_ref = ray.put(idf)
+
+    class Score:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            w = df["tf"].to_numpy() * df["token"].map(self.idf).to_numpy()
+            f = 1e4
+            df = df.copy()
+            df["tf"] = df["tf"].astype("int64")
+            df["tfidf"] = np.sign(w) * np.floor(np.abs(w) * f + 0.5) / f
+            return df
+
+    return (tf.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+            .to_pandas())

@@ -108,3 +108,45 @@ def test_sample_det_is_stable(ray_session):
     b = sample_deterministic(sf).to_pandas().sort_values("doc_id")
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert 0 < len(a) < 500  # a strict, non-empty subset
+
+
+def test_tdigest_accuracy_and_merge(ray_session):
+    """t-digest estimates track exact quantiles on a skewed distribution,
+    and merging shards equals sketching the whole (mergeability)."""
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(mean=1.0, sigma=1.2, size=40_000)
+
+    from stats_ray.ops.sketch import TDigest
+
+    whole = TDigest().add_many(vals)
+    shards = TDigest()
+    for chunk in np.array_split(vals, 13):
+        shards.merge(TDigest().add_many(chunk))
+
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        for d in (whole, shards):
+            est = d.quantile(q)
+            assert abs(est - exact) / exact < 0.03, (q, est, exact)
+    # bounded size regardless of input
+    assert len(whole.means) < 300
+
+
+def test_approx_quantiles_vs_exact(ray_session):
+    """Distributed t-digest per key lands within 5% of the exact kernel."""
+    import ray.data
+
+    from stats_ray.ops.sketch import approx_quantiles
+    from stats_ray.ops.window import events_value_quantiles
+
+    # sf0.01: ~2000 values per event_type — sf0.001's ~200/key makes the
+    # p99 neighborhood a single sample gap, which dominates the comparison
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_type", "value"])
+    approx = approx_quantiles(ds, "event_type", "value").set_index("event_type")
+    exact = events_value_quantiles(sf).set_index("event_type")
+    for k in exact.index:
+        for c, tol in (("p50", 0.05), ("p90", 0.05), ("p99", 0.10)):
+            e, a = exact.loc[k, c], approx.loc[k, c]
+            assert abs(a - e) / max(abs(e), 1e-9) < tol, (k, c, a, e)
