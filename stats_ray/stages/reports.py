@@ -718,34 +718,43 @@ def display_statistics(v: FormatView, min_n: float = 0,
 # inverse parsers (S10 — display.ts:387-535 analogues)
 
 def parse_usage_report(report: str):
+    """display.ts:388-410 parseUsageReport — split-based, so leading
+    whitespace and column drift are tolerated like the reference. Keys are
+    the printed display names; percentage fields keep the printed scale."""
     lines = report.split("\n")
-    battles = int(lines[0].split(":")[1])
-    avg = float(lines[1].split(":")[1])
+    battles = int(_num(lines[0].split(": ")[1]))
+    avg = _num(lines[1].split(": ")[1])
     usage = {}
-    for line in lines[5:]:
-        if not line.startswith("| ") or line.startswith("| Rank"):
-            continue
-        cols = [c.strip() for c in line.split("|")]
-        if len(cols) < 8 or not cols[1].isdigit():
-            continue
-        usage[cols[2]] = {
-            "usage_pct": float(cols[3].rstrip("%")),
-            "raw": int(cols[4]), "raw_pct": float(cols[5].rstrip("%")),
-            "real": int(cols[6]), "real_pct": float(cols[7].rstrip("%")),
+    for i in range(5, len(lines)):
+        line = lines[i].split("|")
+        if len(line) < 8:
+            break
+        name = line[2][1:].strip()
+        usage[name] = {
+            "usage_pct": _num(line[3][1:line[3].index("%")]),
+            "raw": int(_num(line[4][1:-1])),
+            "raw_pct": _num(line[5][1:line[5].index("%")]),
+            "real": int(_num(line[6][1:-1])),
+            "real_pct": _num(line[7][1:line[7].index("%")]),
         }
     return {"battles": battles, "avg_weight": avg, "usage": usage}
 
 
 def parse_leads_report(report: str):
+    """display.ts:413-431 parseLeadsReport (same split-based tolerance)."""
     lines = report.split("\n")
-    total = int(lines[0].split(":")[1])
+    total = int(_num(lines[0].split(": ")[1]))
     leads = {}
-    for line in lines[3:]:
-        cols = [c.strip() for c in line.split("|")]
-        if len(cols) < 6 or not cols[1].isdigit():
-            continue
-        leads[cols[2]] = {"usage_pct": float(cols[3].rstrip("%")),
-                          "raw": int(cols[4]), "raw_pct": float(cols[5].rstrip("%"))}
+    for i in range(4, len(lines)):
+        line = lines[i].split("|")
+        if len(line) < 6:
+            break
+        name = line[2][1:].strip()
+        leads[name] = {
+            "usage_pct": _num(line[3][1:line[3].index("%")]),
+            "raw": int(_num(line[4][1:-1])),
+            "raw_pct": _num(line[5][1:line[5].index("%")]),
+        }
     return {"total_leads": total, "leads": leads}
 
 
@@ -803,14 +812,224 @@ def partial_parse_moveset_report(report: str):
     return movesets
 
 
+_DIGIT = re.compile(r"\d")
+
+
+def _num(s: str) -> float:
+    """JS Number(): trims whitespace, '' -> 0, garbage -> NaN."""
+    s = s.strip()
+    if not s:
+        return 0.0
+    try:
+        return float(s)
+    except ValueError:
+        return math.nan
+
+
 def parse_metagame_report(report: str):
-    tags = {}
-    mean = None
-    tag_re = re.compile(r"^([a-z]+?)(\.*)(\d+\.\d+)%$")
-    for line in report.split("\n"):
-        m = tag_re.match(line)
-        if m:
-            tags[m.group(1)] = float(m.group(3))
-        elif line.startswith("Stalliness"):
-            mean = float(line.split("mean:")[1].rstrip(")").strip())
-    return {"tags": tags, "stalliness_mean": mean}
+    """display.ts:485-535 parseMetagameReport — recover tag weights
+    (fractions), stalliness mean, the histogram (bin axis reconstructed
+    from the labeled rows, mass = bar length in '#'s) and the legend
+    ('one # = x.xx%' as a fraction)."""
+    tags: dict[str, float] = {}
+    lines = report.split("\n")
+
+    i = 0
+    while i < len(lines):
+        line = lines[i].lstrip()
+        d = line.find(".")
+        if d < 0:
+            break
+        tag = line[:d]
+        ds = _DIGIT.search(line)
+        tags[tag] = _num(line[ds.start():line.rfind("%")]) / 100 if ds \
+            else math.nan
+        i += 1
+    i += 1
+    if i >= len(lines):
+        return {"tags": tags, "mean": 0, "histogram": [], "legend": 0}
+    ds = _DIGIT.search(lines[i])
+    # faithful port: Number() from the first DIGIT, so a negative mean's
+    # sign is dropped exactly as in the reference
+    mean = _num(lines[i][ds.start():lines[i].rfind(")")]) if ds else 0.0
+
+    j = 0
+    start: float | None = None
+    step: float | None = None
+    values: list[int] = []
+    i += 1
+    begin = i
+    while i < len(lines):
+        line = lines[i].split("|")
+        if len(line) < 2:
+            break
+        if start is None or not step:
+            if _DIGIT.search(line[0]):
+                n = _num(line[0])
+                if start is None:
+                    start = n
+                    j = i
+                    if i != begin:
+                        step = 0.0
+                else:
+                    s = (n - start) / (i - j)
+                    if step == 0.0:
+                        start -= (j - begin) * s
+                    step = s
+        values.append(len(line[1]))
+        i += 1
+    histogram: list[list[float]] = []
+    for value in values:
+        histogram.append([start, value])
+        if start is not None:
+            start += step or 0.0
+    i += 1
+    legend = 0.0
+    if i < len(lines):
+        ds = _DIGIT.search(lines[i])
+        if ds:
+            legend = _num(lines[i][ds.start():lines[i].rfind("%")]) / 100
+    return {"tags": tags, "mean": mean, "histogram": histogram,
+            "legend": legend}
+
+
+# display.ts:85-87 — historical species-id fixups applied on re-parse
+_FIX = {"mimikyutotembusted": "mimikyubustedtotem"}
+
+
+def _display_object_weighted(m: dict, weight: float, display=None):
+    """display.ts:296-310 (the local toDisplayObject): sort desc / name
+    tiebreak, divide by weight, stop at the first falsy rounded value."""
+    R = lambda x: js_round(x, 1e4)  # noqa: E731
+    d = (lambda k: display(k) if isinstance(k, str) else str(k)) \
+        if display else str
+    items = sorted(m.items(), key=lambda kv: (-kv[1], locale_key(d(kv[0]))))
+    out = {}
+    for k, v in items:
+        r = R(_div(v, weight))
+        if _falsy(r):
+            break
+        out[d(k)] = r
+    return out
+
+
+def from_reports(dx: GenDex, usage_report: str, moveset_report: str,
+                 detailed_report: str, metagame_report: str | None = None,
+                 leads_report: str | None = None) -> dict:
+    """display.ts:174-292 Display.fromReports — rebuild the unified legacy
+    display-statistics object from the published text reports (the S11
+    `convert` path for pre-unified report archives).
+
+    Returns the structured object (dict); serialize with
+    functions.jsfmt.json_stringify / stringify_pretty_compact."""
+    import json as _json
+
+    R = lambda x: js_round(x, 1e4)  # noqa: E731
+
+    def N(n: str) -> str:
+        from ..gendex import to_id
+        sid = _FIX.get(to_id(n)) or dx.species_id(n)
+        sp = dx.SPECIES.get(sid) if sid else None
+        return sp["name"] if sp else n
+
+    from ..gendex import to_id
+
+    dr = _json.loads(detailed_report)
+    ur = parse_usage_report(usage_report)
+    pmr = partial_parse_moveset_report(moveset_report)
+    mr = parse_metagame_report(metagame_report) if metagame_report else None
+    lr = parse_leads_report(leads_report) if leads_report else None
+
+    ur_by_id = {to_id(name): row for name, row in ur["usage"].items()}
+    lr_by_id = {to_id(name): row for name, row in lr["leads"].items()} \
+        if lr else {}
+
+    pokemon: dict[str, dict] = {}
+    for species, pm in pmr.items():
+        if species == "empty":
+            continue
+        p = dr["data"].get(species)
+        if p is None:
+            continue
+        sid = to_id(species)
+        raw_weight = sum(p["Abilities"].values())
+        w = pm["weight"]
+        weight = R(w) if w is not None and not _falsy(w) else None
+
+        urp = ur_by_id.get(sid)
+        if urp is None:
+            break
+        usage = {"raw": R(urp["raw_pct"] / 100),
+                 "real": R(urp["real_pct"] / 100),
+                 "weighted": R(urp["usage_pct"] / 100)}
+        if _falsy(usage["weighted"]):
+            break
+
+        lead = None
+        lrp = lr_by_id.get(sid)
+        if lrp:
+            lead = {"raw": R(lrp["raw_pct"] / 100),
+                    "real": R(lrp["raw_pct"] / 100),
+                    "weighted": R(lrp["usage_pct"] / 100)}
+
+        scored = {}
+        for k, v in p.get("Checks and Counters", {}).items():
+            o = pm["outcomes"].get(k)
+            if not o:
+                continue
+            n = v[0] if isinstance(v, list) else v["n"]
+            q = R(_div(o["koedn"] * n + o["switchedn"] * n, n))
+            dd = R(math.sqrt(_div(q * (1.0 - q), n)))
+            score = R(q - 4 * dd)
+            scored[N(k)] = (score, [R(n), R(o["koedn"]), R(o["switchedn"])])
+        counters = {k: val for k, (s, val) in
+                    sorted(scored.items(),
+                           key=lambda kv: (-kv[1][0], locale_key(kv[0])))}
+
+        p.get("Teammates", {}).pop("empty", None)
+        pokemon[N(species)] = {
+            "lead": lead,
+            "usage": usage,
+            "count": p["Raw count"],
+            "weight": weight,
+            "viability": p["Viability Ceiling"],
+            "abilities": _display_object_weighted(
+                p["Abilities"], raw_weight, dx.display_ability),
+            "items": _display_object_weighted(
+                p["Items"], raw_weight, dx.display_item),
+            "teraTypes": _display_object_weighted(
+                p.get("Tera Types", {}), raw_weight,
+                lambda t: t[0].upper() + t[1:] if t else t),
+            "happinesses": _display_object_weighted(
+                p["Happiness"], raw_weight) if p.get("Happiness") else None,
+            "spreads": _display_object_weighted(p["Spreads"], raw_weight),
+            "moves": _display_object_weighted(
+                p["Moves"], raw_weight, dx.display_move),
+            "teammates": _display_object_weighted(
+                p.get("Teammates", {}), raw_weight, N),
+            "counters": counters,
+        }
+
+    metagame = None
+    if mr:
+        tags = {}
+        for tag, wt in mr["tags"].items():
+            r = R(wt)
+            if _falsy(r):
+                break
+            tags[tag] = r
+        # display.ts:277 — the reference's own '// BUG: this probably
+        # wrong' normalization, replicated for output parity
+        total = sum(n for _, n in mr["histogram"]) / math.e
+        metagame = {
+            "tags": tags,
+            "stalliness": {
+                "histogram": [[R(b), R(n * mr["legend"] * total)]
+                              for b, n in mr["histogram"]],
+                "mean": R(mr["mean"]),
+                "total": R(total),
+            },
+        }
+
+    return {"battles": dr["info"]["number of battles"],
+            "pokemon": pokemon, "metagame": metagame}

@@ -77,8 +77,9 @@ def test_metagame_report(view):
     # tag percentages sorted descending
     vals = list(parsed["tags"].values())
     assert vals == sorted(vals, reverse=True)
-    if parsed["stalliness_mean"] is not None:
+    if parsed["histogram"]:
         assert "one # = " in text
+        assert parsed["legend"] > 0
 
 
 def test_display_statistics_json(view):
