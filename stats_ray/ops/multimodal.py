@@ -91,3 +91,52 @@ def media_features(n: int = 256, *, batch_size: int = 32,
     return synthesize_media(n).map_batches(
         ImageDecode, fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def documents_as_media(sf_dir: str) -> Dataset:
+    """Wrap the documents table as a media table: each doc's UTF-8 bytes
+    become the opaque payload (the deterministic stand-in for a real binary
+    source — same schema, batch-size and actor contract as real media)."""
+    def wrap(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        kinds = [("image", "audio", "video")[i % 3] for i in ids]
+        return pa.table({
+            "media_id": pa.array([f"d{i}" for i in ids]),
+            "kind": pa.array(kinds),
+            "payload": pa.array([s.encode() for s in texts], type=pa.binary()),
+            "meta": pa.array([{"width": 0, "height": 0,
+                               "sample_rate": 16000 if k == "audio" else 0,
+                               "n_frames": 1} for k in kinds],
+                             type=MEDIA_SCHEMA.field("meta").type),
+        }, schema=MEDIA_SCHEMA)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(wrap, batch_format="pyarrow", batch_size=64)
+
+
+def document_media_features(sf_dir: str):
+    """Driver query for the multimodal plumbing: payload -> actor-pool
+    decode (deterministic fake) -> per-item features. The byte-statistics
+    columns are SQL-expressible, so this surface is oracle-checked; the
+    digest column is pinned by pytest instead."""
+    import pandas as pd
+
+    ds = documents_as_media(sf_dir).map_batches(
+        ImageDecode, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+
+    def project(t: pa.Table) -> pa.Table:
+        f = t["features"].combine_chunks()
+        mean = np.asarray(f.field("mean_byte"))
+        r = np.sign(mean) * np.floor(np.abs(mean) * 1e4 + 0.5) / 1e4
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "n_bytes": f.field("n_bytes"),
+            "mean_byte": pa.array(r),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow").to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)

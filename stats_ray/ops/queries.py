@@ -340,6 +340,25 @@ FROM t JOIN df ON t.token = df.token CROSS JOIN n
 """
 
 
+def _q_multimodal(sf_dir: str):
+    from .multimodal import document_media_features
+    return document_media_features(sf_dir)
+
+
+_SQL_MULTIMODAL = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents)
+SELECT 'd' || CAST(d.doc_id AS VARCHAR) AS media_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       ROUND(x.avg_c, 4) AS mean_byte
+FROM documents d
+JOIN (SELECT doc_id, AVG(ascii(c)) AS avg_c FROM ch GROUP BY 1) x
+  USING (doc_id)
+"""
+
+
 def _q_sample_det(sf_dir: str):
     from .text import sample_deterministic
     return _pd(sample_deterministic(sf_dir))
@@ -436,6 +455,7 @@ QUERIES = {
     "doc_sample_det": _q_sample_det,
     "doc_tfidf": _q_tfidf,
     "events_approx_quantiles": _q_approx_quantiles,
+    "multimodal_features": _q_multimodal,
 }
 
 ORACLES = {
@@ -459,6 +479,7 @@ ORACLES = {
     "doc_vocab_topk": _SQL_VOCAB_TOPK,
     "doc_sample_det": _SQL_SAMPLE_DET,
     "doc_tfidf": _SQL_TFIDF,
+    "multimodal_features": _SQL_MULTIMODAL,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }
