@@ -7,8 +7,9 @@ line:
    "queries": {stage: sec}, "sf": ..., "num_cpus": N,
    "battles": n, "battles_per_sec": r}
 
---scaling: runs the same job in two fresh processes (num_cpus=8 and 32) and
-prints both throughputs plus scaling efficiency (BASELINE.md criterion).
+--scaling: runs the same job in two fresh processes (default num_cpus=4
+and 16; override with BENCH_SCALE_LO/BENCH_SCALE_HI) and prints both
+throughputs plus scaling efficiency (BASELINE.md criterion).
 
 Corpus synthesis is one-time and untimed (cached under /tmp/stats_ray_corpus);
 an untimed warm-up read precedes measurement so page-cache effects don't
