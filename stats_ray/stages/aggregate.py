@@ -38,9 +38,14 @@ INVERSE_OUTCOMES = np.array([1, 0, 2, 4, 3, 5, 7, 6, 9, 8, 11, 10, 12], dtype=np
 _CUTS = range(4)
 _W = [f"w{k}" for k in _CUTS]
 # combine window: bigger batches dedupe the bounded-cardinality kinds harder
-# before the exchange (diminishing returns past ~6k battles; the ~unique
-# spread/stats keys floor the ratio at ~2 rows/slot)
-_EXPLODE_BATCH = 6144
+# before the exchange (diminishing returns past a few thousand battles; the
+# ~unique spread/stats keys floor the ratio at ~2 rows/slot). 4096 measured
+# best at sf0.1/32c: enough tasks (~50) for full wave occupancy of the pool,
+# where 6144 left a partial second wave of stragglers (9.4s -> 6.7s fused
+# serial; equivalent within noise when all families run concurrently)
+import os as _os
+
+_EXPLODE_BATCH = int(_os.environ.get("STATS_RAY_EXPLODE_BATCH", "4096"))
 
 
 def _col(t: pa.Table, name: str) -> np.ndarray:
