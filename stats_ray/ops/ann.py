@@ -265,3 +265,83 @@ def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                              ascending=[True, False, True])
            .groupby("query_id", sort=True).head(k).reset_index(drop=True))
     return out[["query_id", "neighbor_id", "sim"]]
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 8,
+            seed: int = 11) -> np.ndarray:
+    """Tiny deterministic spherical k-means for the IVF coarse quantizer
+    (driver-side over a bounded sample; centroids are the broadcast side)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                             replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4,
+             train_size: int = 2048) -> pd.DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer trained on a
+    bounded sample partitions the vectors into clusters; each query scores
+    only the `nprobe` nearest clusters' members.
+
+    Scale shape: train on a driver-side SAMPLE (bounded regardless of table
+    size), broadcast the centroid matrix, assign + score inside
+    map_batches — a batch contributes candidates only for queries probing
+    its vectors' clusters, so compute drops by ~n_clusters/nprobe vs brute
+    force while the data-side pass stays one streaming scan. Recall vs
+    brute force is pinned in tests (like lsh_bucketed_topk)."""
+    ds = read_embeddings(sf_dir)
+
+    train = ds.limit(train_size).to_pandas()
+    tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans(tmat, n_clusters)
+
+    head = ds.sort("vec_id").limit(n_queries).to_pandas()
+    q_ids = head["vec_id"].to_numpy()
+    q = _normalize(np.stack(head["embedding"].to_numpy()).astype(np.float64))
+    # nprobe nearest clusters per query
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q, cent, probes))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q, self.cent, self.probes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            nm = _normalize(mat)
+            assign = np.argmax(nm @ self.cent.T, axis=1)     # (batch,)
+            frames = []
+            for j, qid in enumerate(self.q_ids):
+                mask = np.isin(assign, self.probes[j]) & (ids != qid)
+                if not mask.any():
+                    continue
+                s = nm[mask] @ self.q[j]
+                idx = np.argsort(-s)[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids[mask][idx],
+                    "sim": s[idx]}))
+            if not frames:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.Table.from_pandas(
+                pd.concat(frames, ignore_index=True),
+                preserve_index=False).replace_schema_metadata(None)
+
+    cand = ds.map_batches(Score, batch_format="pyarrow",
+                          concurrency=(1, 8)).to_pandas()
+    out = (cand.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True])
+           .groupby("query_id", as_index=False).head(k)
+           .reset_index(drop=True))
+    out["sim"] = out["sim"].round(4)
+    return out

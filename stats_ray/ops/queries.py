@@ -420,6 +420,13 @@ def _q_approx_quantiles(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def _q_ivf_topk(sf_dir: str):
+    """IVF coarse-quantized ANN (approximate by design — rows-only;
+    recall vs brute force pinned in tests)."""
+    from .ann import ivf_topk
+    return ivf_topk(sf_dir)
+
+
 def _q_embedding_near_dup_lsh(sf_dir: str):
     """Approximate (LSH-bucketed) pair mining — the 100-TB path; rows-only
     check (recall vs the exact path is pinned in tests/test_ops.py)."""
@@ -456,6 +463,7 @@ QUERIES = {
     "doc_tfidf": _q_tfidf,
     "events_approx_quantiles": _q_approx_quantiles,
     "multimodal_features": _q_multimodal,
+    "ann_ivf_topk": _q_ivf_topk,
 }
 
 ORACLES = {

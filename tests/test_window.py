@@ -150,3 +150,18 @@ def test_approx_quantiles_vs_exact(ray_session):
         for c, tol in (("p50", 0.05), ("p90", 0.05), ("p99", 0.10)):
             e, a = exact.loc[k, c], approx.loc[k, c]
             assert abs(a - e) / max(abs(e), 1e-9) < tol, (k, c, a, e)
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    """IVF top-k recalls most of the exact brute-force neighbor set."""
+    from stats_ray.ops.ann import brute_force_topk, ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    bf = brute_force_topk(sf)
+    ivf = ivf_topk(sf)
+    recalls = []
+    for qid in bf["query_id"].unique():
+        exact = set(bf[bf["query_id"] == qid]["neighbor_id"])
+        approx = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(exact & approx) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.5  # nprobe=4 of 16 clusters
