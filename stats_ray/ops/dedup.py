@@ -340,3 +340,144 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8,
 
 
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new shard vs seen corpus
+
+def incremental_dedup(sf_dir: str) -> Dataset:
+    """Anti-join dedup of a "new" shard against a "seen" corpus: keep the
+    new docs whose content hash never appears in the seen set (here the
+    deterministic split doc_id % 3 == 0 plays the new shard; the rest is
+    the seen corpus).
+
+    Scale shape: tag both sides with their md5, union (no exchange), ONE
+    hash co-partition on the digest, emit new ids from groups with no seen
+    row — the same union+groupby join the LSH verify uses. Neither side is
+    collected or broadcast, so the seen corpus can be 100 TB."""
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        return pd.DataFrame({
+            "md5": md5,
+            "doc_id": df["doc_id"].astype("int64"),
+            "is_new": (df["doc_id"] % 3 == 0).astype("int8"),
+        })
+
+    def keep_new_only(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["is_new"] == 0).any():
+            return g.iloc[0:0][["doc_id", "md5"]]
+        return g[g["is_new"] == 1][["doc_id", "md5"]]
+
+    return (docs.map_batches(tag, batch_format="pandas")
+            .groupby("md5").map_groups(keep_new_only, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter (approximate membership, zero false negatives)
+
+_BLOOM_BITS = 1 << 20
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions(keys) -> np.ndarray:
+    """k positions per key from a blake2b double-hash (public technique)."""
+    out = np.empty((len(keys), _BLOOM_HASHES), dtype=np.int64)
+    for i, s in enumerate(keys):
+        d = hashlib.blake2b(s.encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        for j in range(_BLOOM_HASHES):
+            out[i, j] = (h1 + j * h2) % _BLOOM_BITS
+    return out
+
+
+def bloom_build(ds: Dataset, key_col: str) -> np.ndarray:
+    """Mergeable Bloom filter over a key column: each batch sets its bits
+    into a fixed-size partial bitmap; partials OR together on the driver
+    (128 KiB each — size independent of row count, like the HLL sketch)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        pos = _bloom_positions(list(df[key_col]))
+        np.bitwise_or.at(bits, pos.ravel() // 8,
+                         np.uint8(1) << (pos.ravel() % 8).astype(np.uint8))
+        return pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in parts["bitmap"]:
+        bitmap |= np.frombuffer(b, dtype=np.uint8)
+    return bitmap
+
+
+def bloom_maybe_contains(bitmap: np.ndarray, keys) -> np.ndarray:
+    pos = _bloom_positions(list(keys))
+    hit = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+    return hit.all(axis=1).astype(bool)
+
+
+def bloom_prefilter_new(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefiltered incremental dedup: build the filter over the seen
+    corpus' hashes, broadcast it (ray.put, read once per actor), and drop
+    new docs the filter says are definitely-unseen... inverted: keep docs
+    that are POSSIBLY seen for the exact co-partition check, pass through
+    definitely-new ones immediately. Guarantees zero false negatives (a
+    truly-new doc is never dropped); false-positive rate set by bits/key."""
+    import ray
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def md5_col(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "md5": df["text"].map(
+                lambda t: hashlib.md5(t.encode()).hexdigest()),
+        })
+
+    hashed = docs.map_batches(md5_col, batch_format="pandas")
+    # expr filters don't support modulo — plain vectorized masks
+    seen = hashed.map_batches(lambda df: df[df["doc_id"] % 3 != 0],
+                              batch_format="pandas")
+    new = hashed.map_batches(lambda df: df[df["doc_id"] % 3 == 0],
+                             batch_format="pandas")
+    bitmap_ref = ray.put(bloom_build(seen, "md5"))
+
+    class Filter:
+        def __init__(self):
+            self.bitmap = ray.get(bitmap_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            maybe = bloom_maybe_contains(self.bitmap, list(df["md5"]))
+            out = df[["doc_id", "md5"]].copy()
+            out["maybe_seen"] = maybe
+            return out
+
+    return (new.map_batches(Filter, batch_format="pandas",
+                            concurrency=(1, 4))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (pairs -> representatives)
+
+def resolve_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over near-dup pairs (id1, id2) -> (doc_id, keep_doc_id)
+    with the cluster minimum as representative. Pair lists are small
+    relative to the corpus (near-dup density), so driver-side union-find is
+    the right altitude; for pathological densities run iterative min-label
+    propagation over the same co-partition exchange instead."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id1"], pairs["id2"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "keep_doc_id"])

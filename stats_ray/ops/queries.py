@@ -320,6 +320,20 @@ WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
 """
 
 
+def _q_dedup_incremental(sf_dir: str):
+    from .dedup import incremental_dedup
+    return _pd(incremental_dedup(sf_dir))
+
+
+_SQL_DEDUP_INCREMENTAL = """
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, md5(b.text) AS md5
+FROM documents b
+WHERE b.doc_id % 3 = 0
+  AND NOT EXISTS (SELECT 1 FROM documents a
+                  WHERE a.doc_id % 3 <> 0 AND md5(a.text) = md5(b.text))
+"""
+
+
 def _q_tfidf(sf_dir: str):
     from .text import tfidf
     return tfidf(sf_dir)
@@ -464,6 +478,7 @@ QUERIES = {
     "events_approx_quantiles": _q_approx_quantiles,
     "multimodal_features": _q_multimodal,
     "ann_ivf_topk": _q_ivf_topk,
+    "dedup_incremental": _q_dedup_incremental,
 }
 
 ORACLES = {
@@ -488,6 +503,7 @@ ORACLES = {
     "doc_sample_det": _SQL_SAMPLE_DET,
     "doc_tfidf": _SQL_TFIDF,
     "multimodal_features": _SQL_MULTIMODAL,
+    "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -129,3 +129,35 @@ def test_multimodal_plumbing(ray_session):
     f2 = media_features(64).to_pandas()
     assert feats["features"].map(lambda d: d["digest"]).tolist() == \
         f2["features"].map(lambda d: d["digest"]).tolist()
+
+
+def test_bloom_no_false_negatives(ray_session):
+    """Every doc whose hash exists in the seen corpus reads maybe_seen=True;
+    the false-positive rate on truly-new hashes stays small."""
+    import duckdb
+
+    from stats_ray.ops.dedup import bloom_prefilter_new
+
+    out = bloom_prefilter_new(SF)
+    seen_md5 = set(duckdb.sql(
+        f"SELECT md5(text) FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE doc_id % 3 <> 0").df().iloc[:, 0])
+    truly_seen = out["md5"].isin(seen_md5)
+    # zero false negatives: truly-seen rows are always flagged
+    assert out.loc[truly_seen, "maybe_seen"].all()
+    # bounded false positives on the rest (1 MiB filter, tiny corpus)
+    fresh = out.loc[~truly_seen, "maybe_seen"]
+    assert fresh.mean() < 0.05 if len(fresh) else True
+
+
+def test_resolve_clusters_union_find(ray_session):
+    """Chained pairs collapse to one representative (the cluster min)."""
+    import pandas as pd
+
+    from stats_ray.ops.dedup import resolve_clusters
+
+    pairs = pd.DataFrame({"id1": [5, 3, 9, 20], "id2": [3, 1, 5, 21]})
+    out = resolve_clusters(pairs).set_index("doc_id")["keep_doc_id"]
+    # {1,3,5,9} one cluster rooted at 1; {20,21} rooted at 20
+    assert out[3] == 1 and out[5] == 1 and out[9] == 1 and out[1] == 1
+    assert out[21] == 20 and out[20] == 20
