@@ -320,6 +320,27 @@ WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
 """
 
 
+def _q_top_parts(sf_dir: str):
+    from .relational import top_parts_per_nation
+    return top_parts_per_nation(sf_dir)
+
+
+_SQL_TOP_PARTS = """
+WITH r AS (
+  SELECT n.n_name, l.l_partkey,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name, CAST(l_partkey AS BIGINT) AS l_partkey,
+       ROUND(revenue, 4) AS revenue
+FROM r
+QUALIFY row_number() OVER (PARTITION BY n_name
+                           ORDER BY revenue DESC, l_partkey) <= 3
+"""
+
+
 def _q_dedup_incremental(sf_dir: str):
     from .dedup import incremental_dedup
     return _pd(incremental_dedup(sf_dir))
@@ -479,6 +500,7 @@ QUERIES = {
     "multimodal_features": _q_multimodal,
     "ann_ivf_topk": _q_ivf_topk,
     "dedup_incremental": _q_dedup_incremental,
+    "top_parts_per_nation": _q_top_parts,
 }
 
 ORACLES = {
@@ -504,6 +526,7 @@ ORACLES = {
     "doc_tfidf": _SQL_TFIDF,
     "multimodal_features": _SQL_MULTIMODAL,
     "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
+    "top_parts_per_nation": _SQL_TOP_PARTS,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

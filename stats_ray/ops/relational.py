@@ -182,3 +182,52 @@ def price_percentiles(sf_dir: str) -> pd.DataFrame:
         idx = int(np.floor(q * (n - 1) + 0.5))  # nearest-rank, matches duckdb
         rows.append({"q": q, "value": float(vals[idx])})
     return pd.DataFrame(rows)
+
+
+def top_parts_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k: the k highest-revenue parts per supplier nation.
+
+    Scale shape: revenue rolls up distributed (partial combine + groupby),
+    then per-group top-k runs as a map_groups kernel over the (already
+    aggregated, nation×part-sized) rows — never a global sort of the fact
+    table. Deterministic (revenue desc, partkey asc) tiebreak."""
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    lookup = dict(zip(dim["s_suppkey"].astype(np.int64), dim["n_name"]))
+    ref = ray.put(lookup)
+
+    class Partial:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "n_name": df["l_suppkey"].map(self.lookup),
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+            })
+            return out.groupby(["n_name", "l_partkey"], as_index=False).sum()
+
+    rolled = (li.map_batches(Partial, batch_format="pandas",
+                             concurrency=(1, 4))
+              .groupby(["n_name", "l_partkey"])
+              .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["revenue", "l_partkey"],
+                          ascending=[False, True]).head(k)
+        f = 1e4
+        r = g["revenue"].to_numpy()
+        g = g.copy()
+        g["revenue"] = np.sign(r) * np.floor(np.abs(r) * f + 0.5) / f
+        return g
+
+    out = (rolled.groupby("n_name").map_groups(topk, batch_format="pandas")
+           .to_pandas().sort_values(["n_name", "revenue", "l_partkey"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    return out
