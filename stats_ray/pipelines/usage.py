@@ -63,6 +63,33 @@ def parse_pipeline(corpus_dir: str, *, strict: bool = True,
         concurrency=concurrency or _default_concurrency())
 
 
+def parse_with_quarantine(corpus_dir: str, *, concurrency=None,
+                          batch_size: int = 256) -> tuple[Dataset, Dataset]:
+    """Fault-tolerant parse: returns (good, errors). A malformed battle
+    never kills the job and never silently vanishes — it lands in the
+    errors dataset as (doc_id, source, parse_error), ready for a
+    quarantine sink. The good side carries the regular PARSED_SCHEMA."""
+    ds = filter_formats(read_battles(corpus_dir))
+    tagged = ds.map_batches(
+        ParseBattles,
+        fn_constructor_kwargs={"strict": False, "quarantine": True},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency())
+
+    def only_good(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["parse_error"], "")
+        if pc.all(keep).as_py():
+            return t.drop_columns(["parse_error"])
+        return t.filter(keep).drop_columns(["parse_error"])
+
+    def only_errors(t: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.equal(t["parse_error"], ""))
+        return t.select(["doc_id", "source", "parse_error"]).filter(bad)
+
+    return (tagged.map_batches(only_good, batch_format="pyarrow"),
+            tagged.map_batches(only_errors, batch_format="pyarrow"))
+
+
 def route_parsed(parsed: Dataset, out_dir: str) -> None:
     """S7/S4: per-format partitioned, resumable sink."""
     parsed.write_parquet(out_dir, partition_cols=["format"])

@@ -332,10 +332,15 @@ class ParseBattles:
     """
 
     def __init__(self, strict: bool = True, dex_name: str = "synth",
-                 legacy: bool = False):
+                 legacy: bool = False, quarantine: bool = False):
         self.strict = strict
         self.dx = get_dex(dex_name)
         self.legacy = legacy
+        # quarantine mode: malformed battles become rows with a non-empty
+        # `parse_error` column instead of being silently dropped — at scale
+        # a bad shard must be ACCOUNTED, not vanished (split downstream
+        # with pipelines.usage.parse_with_quarantine)
+        self.quarantine = quarantine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docs = decode_column(batch["tokens"])
@@ -344,6 +349,7 @@ class ParseBattles:
         dx = self.dx
 
         rows = []
+        errors: list[tuple[str, str, str]] = []
         for doc_id, source, s in zip(doc_ids, sources, docs):
             fmt = canonicalize_format(source.split("/", 1)[0])
             singles = not dx.is_non_singles(fmt)
@@ -354,10 +360,32 @@ class ParseBattles:
             except (ParseError, ValueError, KeyError, IndexError, TypeError) as e:
                 if self.strict:
                     raise ParseError(f"{doc_id}: {e}") from e
+                if self.quarantine:
+                    errors.append((str(doc_id), str(source),
+                                   f"{type(e).__name__}: {e}"))
                 continue
             rows.append((doc_id, source, fmt, singles, non6v6, doc, b))
 
-        return self._assemble(rows)
+        good = self._assemble(rows)
+        if not self.quarantine:
+            return good
+        good = good.append_column("parse_error",
+                                  pa.array([""] * len(good), pa.string()))
+        if not errors:
+            return good
+        err_cols = {}
+        for f in PARSED_SCHEMA:
+            if f.name == "doc_id":
+                err_cols[f.name] = pa.array([e[0] for e in errors],
+                                            type=f.type)
+            elif f.name == "source":
+                err_cols[f.name] = pa.array([e[1] for e in errors],
+                                            type=f.type)
+            else:
+                err_cols[f.name] = pa.nulls(len(errors), type=f.type)
+        err_cols["parse_error"] = pa.array([e[2] for e in errors],
+                                           pa.string())
+        return pa.concat_tables([good, pa.table(err_cols)])
 
     def _assemble(self, rows) -> pa.Table:
         dx, legacy = self.dx, self.legacy
