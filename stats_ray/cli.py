@@ -102,6 +102,27 @@ def cmd_synth(args):
         print(json.dumps({"dir": d}))
 
 
+def cmd_quarantine(args):
+    """Fault-tolerant parse: good rows to out/parsed (partitioned by
+    format), malformed battles to out/errors with their parse_error."""
+    _ray()
+    import os
+
+    from .pipelines.usage import parse_with_quarantine
+    good, errors = parse_with_quarantine(args.corpus)
+    good.write_parquet(os.path.join(args.out, "parsed"),
+                       partition_cols=["format"])
+    err = errors.to_pandas()
+    if err.empty:  # a fully-empty dataset drops its schema in to_pandas
+        import pandas as pd
+        err = pd.DataFrame({c: pd.Series(dtype=str)
+                            for c in ("doc_id", "source", "parse_error")})
+    os.makedirs(os.path.join(args.out, "errors"), exist_ok=True)
+    err.to_parquet(os.path.join(args.out, "errors", "errors.parquet"),
+                   index=False)
+    print(json.dumps({"good": int(good.count()), "errors": len(err)}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="stats_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -140,6 +161,11 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--split", action="store_true")
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("quarantine")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_quarantine)
 
     sp = sub.add_parser("synth")
     sp.add_argument("--sf", default="0.001")

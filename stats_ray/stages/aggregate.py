@@ -38,14 +38,17 @@ INVERSE_OUTCOMES = np.array([1, 0, 2, 4, 3, 5, 7, 6, 9, 8, 11, 10, 12], dtype=np
 _CUTS = range(4)
 _W = [f"w{k}" for k in _CUTS]
 # combine window: bigger batches dedupe the bounded-cardinality kinds harder
-# before the exchange (diminishing returns past a few thousand battles; the
-# ~unique spread/stats keys floor the ratio at ~2 rows/slot). 4096 measured
-# best at sf0.1/32c: enough tasks (~50) for full wave occupancy of the pool,
-# where 6144 left a partial second wave of stragglers (9.4s -> 6.7s fused
-# serial; equivalent within noise when all families run concurrently)
+# before the exchange (diminishing returns past ~6k battles; the ~unique
+# spread/stats keys floor the ratio at ~2 rows/slot). A/B at sf0.1/32c:
+# 4096 runs the SERIAL fused exchange 30% faster (full wave occupancy vs a
+# partial straggler wave) but is equivalent within noise in the concurrent
+# phase (the cluster is saturated by the other families), and changing the
+# window regroups in-batch FP partial sums — flipping ulp-level ties in the
+# byte-exact report goldens — so the historical default stays. Override
+# with STATS_RAY_EXPLODE_BATCH for isolated-stage workloads.
 import os as _os
 
-_EXPLODE_BATCH = int(_os.environ.get("STATS_RAY_EXPLODE_BATCH", "4096"))
+_EXPLODE_BATCH = int(_os.environ.get("STATS_RAY_EXPLODE_BATCH", "6144"))
 
 
 def _col(t: pa.Table, name: str) -> np.ndarray:
@@ -102,7 +105,14 @@ def _hash_grouped(part: Dataset, keys: list[str], how: str = "sum",
         return t.append_column("bucket", pa.array(bucket))
 
     def agg(df: pd.DataFrame) -> pa.Table:
-        g = df.drop(columns="bucket").groupby(keys, as_index=False, sort=False)
+        df = df.drop(columns="bucket")
+        # canonical row order before the FP reduction: upstream batch
+        # composition follows block ARRIVAL order (scheduling-dependent),
+        # and a different summation order shifts results by an ulp —
+        # enough to flip ties in the byte-exact reports. Sorting by every
+        # column makes the sum a pure function of the data.
+        df = df.sort_values(list(df.columns), kind="stable")
+        g = df.groupby(keys, as_index=False, sort=False)
         return _pt_stable(g.sum() if how == "sum" else g.max())
 
     return (part.map_batches(bucketize, batch_format="pyarrow")

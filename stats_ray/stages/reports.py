@@ -175,7 +175,12 @@ def collect_view(aggs: dict[str, pd.DataFrame], fmt: str, cutoff: int,
         df = aggs.get(name)
         if df is None or df.empty:
             return pd.DataFrame()
-        return df[(df["format"] == fmt) & (df["cutoff"] == cutoff)]
+        df = df[(df["format"] == fmt) & (df["cutoff"] == cutoff)]
+        # Ray's to_pandas row order follows block arrival, which varies with
+        # cluster state; the scalar accumulations below must not — a
+        # different FP summation order flips ulp-level ties in the
+        # byte-exact reports. Fix the order before any arithmetic.
+        return df.sort_values(list(df.columns), kind="stable")
 
     b = sel("battles")
     v.battles = int(b["battles"].iloc[0]) if len(b) else 0

@@ -34,3 +34,16 @@ def test_cli_db_and_anon(small_corpus, tmp_path):
     an = _run(["anon", "--corpus", small_corpus,
                "--out", str(tmp_path / "anon"), "--rate", "0.5"])
     assert 0 < an["rows"] < 400
+
+
+def test_cli_quarantine(ray_session, small_corpus, tmp_path):
+    import pandas as pd
+
+    from stats_ray.cli import main
+    out = str(tmp_path / "q")
+    main(["quarantine", "--corpus", small_corpus, "--out", out])
+    import glob
+    assert glob.glob(f"{out}/parsed/**/*.parquet", recursive=True)
+    err = pd.read_parquet(f"{out}/errors/errors.parquet")
+    assert list(err.columns) == ["doc_id", "source", "parse_error"]
+    assert len(err) == 0  # clean synth corpus has no malformed battles
