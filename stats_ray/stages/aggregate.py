@@ -109,9 +109,14 @@ def _hash_grouped(part: Dataset, keys: list[str], how: str = "sum",
         # canonical row order before the FP reduction: upstream batch
         # composition follows block ARRIVAL order (scheduling-dependent),
         # and a different summation order shifts results by an ulp —
-        # enough to flip ties in the byte-exact reports. Sorting by every
-        # column makes the sum a pure function of the data.
-        df = df.sort_values(list(df.columns), kind="stable")
+        # enough to flip ties in the byte-exact reports. One deterministic
+        # row-hash sort (cheap single uint64 key) makes the reduction a
+        # pure function of the data; identical rows may still permute, but
+        # equal addends sum identically in any order.
+        order = np.argsort(
+            pd.util.hash_pandas_object(df, index=False).to_numpy(),
+            kind="stable")
+        df = df.iloc[order]
         g = df.groupby(keys, as_index=False, sort=False)
         return _pt_stable(g.sum() if how == "sum" else g.max())
 
