@@ -481,3 +481,49 @@ def resolve_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     rows = sorted((x, find(x)) for x in parent)
     return pd.DataFrame(rows, columns=["doc_id", "keep_doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# standalone n-gram Jaccard pair scoring
+
+def pair_jaccard(sf_dir: str) -> Dataset:
+    """Exact word-set Jaccard for consecutive doc pairs (2i, 2i+1) — the
+    standalone surface for the Jaccard verification kernel the LSH paths
+    use (there with 3-word shingle-hash sets; here with n=1 word sets so
+    the DuckDB oracle can mirror it with list functions).
+
+    Scale shape: each doc maps to its pair id, ONE co-partition groupby
+    brings the two members together, the set kernel runs per group — the
+    same exchange pattern as the LSH verify, no driver pairing."""
+    import re as _re
+
+    split = _re.compile(r"[^a-z0-9]+")
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        words = [sorted({w for w in split.split(t.lower()) if w})
+                 for t in df["text"]]
+        return pd.DataFrame({
+            "pair_id": (df["doc_id"] // 2).astype("int64"),
+            "doc_id": df["doc_id"].astype("int64"),
+            "words": words,
+        })
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                                 "id2": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        g = g.sort_values("doc_id")
+        a, b = set(g["words"].iloc[0]), set(g["words"].iloc[1])
+        union = len(a | b)
+        j = len(a & b) / union if union else 1.0
+        f = 1e6
+        return pd.DataFrame({
+            "id1": [int(g["doc_id"].iloc[0])],
+            "id2": [int(g["doc_id"].iloc[1])],
+            "jaccard": [np.sign(j) * np.floor(abs(j) * f + 0.5) / f],
+        })
+
+    return (docs.map_batches(tag, batch_format="pandas")
+            .groupby("pair_id").map_groups(score, batch_format="pandas"))

@@ -320,6 +320,27 @@ WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
 """
 
 
+def _q_pair_jaccard(sf_dir: str):
+    from .dedup import pair_jaccard
+    return _pd(pair_jaccard(sf_dir))
+
+
+_SQL_PAIR_JACCARD = """
+WITH w AS (SELECT doc_id, CAST(doc_id // 2 AS BIGINT) AS pair_id,
+                  list_distinct(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS words
+           FROM documents)
+SELECT CAST(a.doc_id AS BIGINT) AS id1, CAST(b.doc_id AS BIGINT) AS id2,
+       ROUND(CASE WHEN len(list_distinct(list_concat(a.words, b.words))) = 0
+             THEN 1.0
+             ELSE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.words, b.words))) END, 6)
+         AS jaccard
+FROM w a JOIN w b ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id
+"""
+
+
 def _q_top_parts(sf_dir: str):
     from .relational import top_parts_per_nation
     return top_parts_per_nation(sf_dir)
@@ -501,6 +522,7 @@ QUERIES = {
     "ann_ivf_topk": _q_ivf_topk,
     "dedup_incremental": _q_dedup_incremental,
     "top_parts_per_nation": _q_top_parts,
+    "doc_pair_jaccard": _q_pair_jaccard,
 }
 
 ORACLES = {
@@ -527,6 +549,7 @@ ORACLES = {
     "multimodal_features": _SQL_MULTIMODAL,
     "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
     "top_parts_per_nation": _SQL_TOP_PARTS,
+    "doc_pair_jaccard": _SQL_PAIR_JACCARD,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -42,7 +42,7 @@ def _norm(df):
     "events_asof_prior_view", "events_cum_user", "events_sliding_7d",
     "events_value_quantiles", "range_join_bands", "doc_vocab_topk",
     "doc_sample_det", "doc_tfidf", "multimodal_features",
-    "dedup_incremental", "top_parts_per_nation",
+    "dedup_incremental", "top_parts_per_nation", "doc_pair_jaccard",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
