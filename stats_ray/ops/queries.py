@@ -320,6 +320,22 @@ WHERE token <> '' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100
 """
 
 
+def _q_price_percentiles(sf_dir: str):
+    from .relational import price_percentiles
+    df = price_percentiles(sf_dir)
+    return _r4(df, ["value"])
+
+
+_SQL_PRICE_PERCENTILES = """
+SELECT 0.5 AS q, ROUND(quantile_disc(o_totalprice, 0.5), 4) AS value
+FROM orders
+UNION ALL
+SELECT 0.9, ROUND(quantile_disc(o_totalprice, 0.9), 4) FROM orders
+UNION ALL
+SELECT 0.99, ROUND(quantile_disc(o_totalprice, 0.99), 4) FROM orders
+"""
+
+
 def _q_pair_jaccard(sf_dir: str):
     from .dedup import pair_jaccard
     return _pd(pair_jaccard(sf_dir))
@@ -523,6 +539,7 @@ QUERIES = {
     "dedup_incremental": _q_dedup_incremental,
     "top_parts_per_nation": _q_top_parts,
     "doc_pair_jaccard": _q_pair_jaccard,
+    "orders_price_percentiles": _q_price_percentiles,
 }
 
 ORACLES = {
@@ -550,6 +567,7 @@ ORACLES = {
     "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
     "top_parts_per_nation": _SQL_TOP_PARTS,
     "doc_pair_jaccard": _SQL_PAIR_JACCARD,
+    "orders_price_percentiles": _SQL_PRICE_PERCENTILES,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -173,14 +173,19 @@ def range_join_bands(sf_dir: str) -> Dataset:
 
 def price_percentiles(sf_dir: str) -> pd.DataFrame:
     """A15 analogue: exact percentile of order totalprice via distributed
-    sort + take (matches SQL quantile_disc lower-index semantics)."""
-    ds = _t(sf_dir, "orders", ["o_totalprice"]).sort("o_totalprice")
+    sort + indexed block fetch (matches SQL quantile_disc lower-index
+    semantics). `split_at_indices` + `take(1)` reads ONLY the block
+    containing each rank — the driver never materializes the sorted column
+    (the t-digest in ops/sketch.py is the one-pass approximate path)."""
+    ds = (_t(sf_dir, "orders", ["o_totalprice"])
+          .sort("o_totalprice").materialize())
     n = ds.count()
-    vals = ds.to_pandas()["o_totalprice"].to_numpy()
     rows = []
     for q in (0.5, 0.9, 0.99):
-        idx = int(np.floor(q * (n - 1) + 0.5))  # nearest-rank, matches duckdb
-        rows.append({"q": q, "value": float(vals[idx])})
+        idx = int(np.floor(q * (n - 1)))  # quantile_disc lower-rank index
+        tail = ds.split_at_indices([idx])[1]
+        rows.append({"q": q,
+                     "value": float(tail.take(1)[0]["o_totalprice"])})
     return pd.DataFrame(rows)
 
 

@@ -43,6 +43,7 @@ def _norm(df):
     "events_value_quantiles", "range_join_bands", "doc_vocab_topk",
     "doc_sample_det", "doc_tfidf", "multimodal_features",
     "dedup_incremental", "top_parts_per_nation", "doc_pair_jaccard",
+    "orders_price_percentiles",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
