@@ -233,92 +233,134 @@ def classify_team(team: list[dict], dx: GenDex | None = None,
     return team_bias, stalliness, sorted(tags)
 
 
+def _mon_tag_preds(dx: GenDex, mon: dict) -> tuple:
+    """Per-mon tag predicates (everything in the classifier.ts:203-330 mon
+    loop that does NOT depend on the running counters). Pure function of
+    (species, moves, ability, item, nature, spe-EV gate) — memoized per dex
+    because competitive sets repeat heavily, so the hot parse path pays one
+    dict probe per mon instead of a dozen set constructions/lookups."""
+    raw_species = mon["species"]
+    species = raw_species
+    if dx.is_mega(species):
+        species = dx.base_species(species)
+    sp = dx.SPECIES[species]
+    moves = set(mon["moves"])
+    mlist = mon["moves"]
+    ability = mon["ability"]
+    item = mon["item"]
+    w_ab = ("rain" if ability in ("drizzle", "primordialsea") else
+            "sun" if ability in ("drought", "desolateland") else
+            "sand" if ability == "sandstream" else
+            "hail" if ability == "snowwarning" else None)
+    rsp = dx.SPECIES.get(raw_species)
+    return (
+        tuple(sp["types"]),
+        w_ab,
+        raw_species == "charizard" and item == "charizarditey",
+        "raindance" in moves, item == "damprock",
+        "sunnyday" in moves, item == "heatrock",
+        "sandstorm" in moves, item == "smoothrock",
+        "hail" in moves, item == "icyrock",
+        ("batonpass" in moves and (ability in dx.SETUP_ABILITIES
+                                   or bool(moves & dx.TABLES["batonPass"]))),
+        "tailwind" in moves,
+        "trickroom" in moves and "imprison" not in moves,
+        (mon["evs"]["spe"] < 5 and (mon["nature"] in _SLOW_NATURES
+                                    or sp["baseStats"]["spe"] <= 50)),
+        "gravity" in moves,
+        bool(moves & dx.TABLES["gravity"]),
+        item == "ejectbutton",
+        any(m in ("voltswitch", "uturn", "batonpass") for m in mlist),
+        ability in dx.TRAPPING_ABILITIES,
+        any(m in (dx.TAG_TRAPPING_MOVES if dx.legacy
+                  else dx.TRAPPING_MOVES) for m in mlist),
+        raw_species in dx.DRAGONS,
+        bool(rsp and "Dragon" in rsp["types"]),
+        ability == "magicbounce",
+        "rapidspin" in moves,
+        ((ability == "sturdy" or item == "focussash")
+         and "endeavor" in moves),
+        (ability != "klutz"
+         and item in ("choiceband", "choicescarf", "choicespecs")),
+        any(m in ("foulplay", "swagger") for m in mlist),
+    )
+
+
 def _tag(team: list[dict], stalliness: float, dx: GenDex) -> set[str]:
-    # classifier.ts:203-393, quirks preserved
+    # classifier.ts:203-393, quirks preserved; the per-mon predicates are
+    # memoized (_mon_tag_preds) and only the counter-coupled sequential
+    # logic runs per call
     weather = {"rain": 0, "sun": 0, "sand": 0, "hail": 0}
     st = {k: 0 for k in ("batonpass", "tailwind", "trickroom", "slow",
                          "gravityMoves", "gravity", "voltturn", "dragons",
                          "trappers", "clearance", "fear", "choice",
                          "swagplay")}
     possible_types: list[str] | None = None
+    cache = dx.__dict__.setdefault("_tag_pred_cache", {})
+    if len(cache) > 200_000:  # bounded per-actor memory at corpus scale
+        cache.clear()
 
     for mon in team:
-        raw_species = mon["species"]
-        species = raw_species
-        if dx.is_mega(species):
-            species = dx.base_species(species)
-        sp = dx.SPECIES[species]
-        moves = set(mon["moves"])
-        ability = mon["ability"]
-        item = mon["item"]
+        key = (mon["species"], tuple(mon["moves"]), mon["ability"],
+               mon["item"], mon["nature"], mon["evs"]["spe"] < 5)
+        p = cache.get(key)
+        if p is None:
+            p = cache[key] = _mon_tag_preds(dx, mon)
+        (types, w_ab, chary, rd, rd_rock, sd, sd_rock, ss, ss_rock, hl,
+         hl_rock, bp, tw, tr, slow_full, grav, gravmv, vt_item, vt_move,
+         trap_ab, trap_mv, drag_set, drag_type, clear_ab, rspin, fear,
+         choice, swag) = p
 
-        types = list(sp["types"])
-        possible_types = (types if possible_types is None
+        possible_types = (list(types) if possible_types is None
                           else [t for t in possible_types if t in types])
 
-        if ability in ("drizzle", "primordialsea"):
-            weather["rain"] += 2
-        elif ability in ("drought", "desolateland"):
+        if w_ab:
+            weather[w_ab] += 2
+        if weather["sun"] < 2 and chary:
             weather["sun"] += 2
-        elif ability == "sandstream":
-            weather["sand"] += 2
-        elif ability == "snowwarning":
-            weather["hail"] += 2
-        if weather["sun"] < 2 and raw_species == "charizard" and item == "charizarditey":
-            weather["sun"] += 2
-        if weather["rain"] < 2 and "raindance" in moves:
-            weather["rain"] += 2 if item == "damprock" else 1
-        if weather["sun"] < 2 and "sunnyday" in moves:
-            weather["sun"] += 2 if item == "heatrock" else 1
-        if weather["sand"] < 2 and "sandstorm" in moves:
-            weather["sand"] += 2 if item == "smoothrock" else 1
-        if weather["hail"] < 2 and "hail" in moves:
-            weather["hail"] += 2 if item == "icyrock" else 1
+        if weather["rain"] < 2 and rd:
+            weather["rain"] += 2 if rd_rock else 1
+        if weather["sun"] < 2 and sd:
+            weather["sun"] += 2 if sd_rock else 1
+        if weather["sand"] < 2 and ss:
+            weather["sand"] += 2 if ss_rock else 1
+        if weather["hail"] < 2 and hl:
+            weather["hail"] += 2 if hl_rock else 1
 
-        if (st["batonpass"] < 2 and "batonpass" in moves
-                and (ability in dx.SETUP_ABILITIES
-                     or bool(moves & dx.TABLES["batonPass"]))):
+        if st["batonpass"] < 2 and bp:
             st["batonpass"] += 1
-        if st["tailwind"] < 2 and "tailwind" in moves:
+        if st["tailwind"] < 2 and tw:
             st["tailwind"] += 1
-        if "trickroom" in moves and "imprison" not in moves:
+        if tr:
             st["trickroom"] += 1
-        if (st["slow"] < 2 and mon["evs"]["spe"] < 5
-                and (mon["nature"] in _SLOW_NATURES
-                     or sp["baseStats"]["spe"] <= 50)):
+        if st["slow"] < 2 and slow_full:
             st["slow"] += 1
-        if st["gravity"] < 2 and "gravity" in moves:
+        if st["gravity"] < 2 and grav:
             st["gravity"] += 1
-        if moves & dx.TABLES["gravity"]:
+        if gravmv:
             st["gravityMoves"] += 1
         # quirk preserved: the cap only applies to the item branch
-        if (st["voltturn"] < 3 and item == "ejectbutton") or \
-                any(m in ("voltswitch", "uturn", "batonpass") for m in mon["moves"]):
+        if (st["voltturn"] < 3 and vt_item) or vt_move:
             st["voltturn"] += 1
-        if (st["trappers"] < 3 and ability in dx.TRAPPING_ABILITIES) or \
-                any(m in (dx.TAG_TRAPPING_MOVES if dx.legacy
-                          else dx.TRAPPING_MOVES) for m in mon["moves"]):
+        if (st["trappers"] < 3 and trap_ab) or trap_mv:
             st["trappers"] += 1
         # JS ?:-precedence quirk (classifier.ts:286-289):
         #   (dragons < 2 && legacy) ? DRAGONS.has(raw) : types has Dragon
         # so legacy uses the pinned set until the cap, then falls through to
         # the (uncapped) type check; non-legacy is always the type check.
         if st["dragons"] < 2 and dx.legacy:
-            if raw_species in dx.DRAGONS:
+            if drag_set:
                 st["dragons"] += 1
         else:
-            rsp = dx.SPECIES.get(raw_species)
-            if rsp and "Dragon" in rsp["types"]:
+            if drag_type:
                 st["dragons"] += 1
-        if (st["clearance"] < 2 and ability == "magicbounce") or "rapidspin" in moves:
+        if (st["clearance"] < 2 and clear_ab) or rspin:
             st["clearance"] += 1
-        if (st["fear"] < 3 and (ability == "sturdy" or item == "focussash")
-                and "endeavor" in moves):
+        if st["fear"] < 3 and fear:
             st["fear"] += 1
-        if (st["choice"] < 4 and ability != "klutz"
-                and item in ("choiceband", "choicescarf", "choicespecs")):
+        if st["choice"] < 4 and choice:
             st["choice"] += 1
-        if st["swagplay"] < 2 and any(m in ("foulplay", "swagger") for m in mon["moves"]):
+        if st["swagplay"] < 2 and swag:
             st["swagplay"] += 1
 
     tags: set[str] = set()
