@@ -147,7 +147,8 @@ def _q_weights(sf_dir: str):
                     "weight": _half_up(t[f"p{side}_w{k}"].to_numpy(), 6),
                 }))
         return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                    preserve_index=False)
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return parsed.map_batches(explode, batch_format="pyarrow").to_pandas()
 
@@ -414,7 +415,8 @@ def _q_format_days(sf_dir: str):
         df = pd.DataFrame({"format": fmt, "day": np.array(day, dtype=np.int32),
                            "n": 1})
         out = df.groupby(["format", "day"], as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return (ray.data.read_parquet(f"{corpus}/battles", columns=["source"])
             .map_batches(explode, batch_format="pyarrow")

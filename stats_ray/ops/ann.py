@@ -19,7 +19,8 @@ from ray.data import Dataset
 
 
 def read_embeddings(sf_dir: str, columns=None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+    from .io import read_table
+    return read_table(sf_dir, "embeddings", columns=columns)
 
 
 def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -111,9 +111,9 @@ def documents_as_media(sf_dir: str) -> Dataset:
                              type=MEDIA_SCHEMA.field("meta").type),
         }, schema=MEDIA_SCHEMA)
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(wrap, batch_format="pyarrow", batch_size=64)
+    from .io import read_table
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]
+                      ).map_batches(wrap, batch_format="pyarrow", batch_size=64)
 
 
 def document_media_features(sf_dir: str):

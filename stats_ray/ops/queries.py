@@ -465,9 +465,9 @@ def _q_approx_users(sf_dir: str):
     rows-only: approximate by design; accuracy asserted in tests)."""
     import ray.data
 
+    from .io import read_table
     from .sketch import approx_distinct
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "user_id"])
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     df = approx_distinct(ds, "event_type", "user_id")
     df["approx_distinct"] = df["approx_distinct"].round(1)
     return df
@@ -485,9 +485,9 @@ def _q_approx_quantiles(sf_dir: str):
     approximate by design; accuracy vs exact pinned in tests)."""
     import ray.data
 
+    from .io import read_table
     from .sketch import approx_quantiles
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
     return (approx_quantiles(ds, "event_type", "value")
             .sort_values("event_type").reset_index(drop=True))
 

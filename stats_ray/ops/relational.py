@@ -14,8 +14,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 
-def _t(sf_dir: str, name: str, columns=None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+from .io import read_table as _t  # noqa: E402  (shared metadata-stripping read)
 
 
 def tpch_q1(sf_dir: str) -> Dataset:

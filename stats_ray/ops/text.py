@@ -20,7 +20,8 @@ STOPWORDS = frozenset({"the", "a", "an", "and", "of", "to", "in", "is", "it"})
 
 
 def read_documents(sf_dir: str, columns=None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from .io import read_table
+    return read_table(sf_dir, "documents", columns=columns)
 
 
 class TokenStats:

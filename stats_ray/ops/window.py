@@ -24,7 +24,8 @@ _EVENT_COLS = ["event_id", "user_id", "ts", "event_type", "value"]
 
 
 def _events(sf_dir: str, columns=None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from .io import read_table
+    return read_table(sf_dir, "events", columns=columns)
 
 
 # --- as-of join --------------------------------------------------------------
