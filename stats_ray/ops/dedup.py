@@ -19,6 +19,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
@@ -142,38 +143,55 @@ def _attach_by_key(pairs: Dataset, sigs: Dataset, key_col: str,
     pairs columns: [id1, id2] + carry; output adds `out_col` (the matched
     doc's shingle array)."""
     cols = ["id1", "id2"] + carry
+    # explicit Arrow schemas everywhere: zero-row groups must not emit
+    # null-typed byte columns (pandas object -> pa.null()) that diverge
+    # from the binary type of non-empty blocks and break block unification
+    tagged_schema = pa.schema(
+        [("key_", pa.int64()), ("id1", pa.int64()), ("id2", pa.int64())]
+        + [(c, pa.binary()) for c in carry]
+        + [("sig_", pa.binary()), ("is_sig_", pa.int8())])
+    out_schema = pa.schema(
+        [("id1", pa.int64()), ("id2", pa.int64())]
+        + [(c, pa.binary()) for c in carry] + [(out_col, pa.binary())])
 
-    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[cols].copy()
-        out["key_"] = df[key_col].astype(np.int64)
-        out["sig_"] = [b""] * len(df)
-        out["is_sig_"] = np.int8(0)
-        return out[["key_"] + cols + ["sig_", "is_sig_"]]
-
-    def tag_sigs(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"key_": df["doc_id"].astype(np.int64)})
-        out["id1"] = np.int64(-1)
-        out["id2"] = np.int64(-1)
+    def tag_pairs(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        arrs = {"key_": df[key_col].to_numpy(dtype=np.int64),
+                "id1": df["id1"].to_numpy(dtype=np.int64),
+                "id2": df["id2"].to_numpy(dtype=np.int64),
+                "sig_": [b""] * n, "is_sig_": np.zeros(n, dtype=np.int8)}
         for c in carry:
-            out[c] = [b""] * len(df)
-        out["sig_"] = list(df["sh"])
-        out["is_sig_"] = np.int8(1)
-        return out[["key_"] + cols + ["sig_", "is_sig_"]]
+            arrs[c] = list(df[c])
+        return pa.table({f.name: pa.array(arrs[f.name], type=f.type)
+                         for f in tagged_schema})
+
+    def tag_sigs(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        arrs = {"key_": df["doc_id"].to_numpy(dtype=np.int64),
+                "id1": np.full(n, -1, dtype=np.int64),
+                "id2": np.full(n, -1, dtype=np.int64),
+                "sig_": list(df["sh"]), "is_sig_": np.ones(n, dtype=np.int8)}
+        for c in carry:
+            arrs[c] = [b""] * n
+        return pa.table({f.name: pa.array(arrs[f.name], type=f.type)
+                         for f in tagged_schema})
 
     tagged = pairs.map_batches(tag_pairs, batch_format="pandas").union(
         sigs.map_batches(tag_sigs, batch_format="pandas"))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         sig_rows = g[g["is_sig_"] == 1]
         pair_rows = g[g["is_sig_"] == 0]
-        out = pair_rows[cols].copy()
         if sig_rows.empty or pair_rows.empty:
-            out = out.iloc[0:0]
-            out[out_col] = pd.Series(dtype=object)
-            return out
-        sig = sig_rows["sig_"].iloc[0]
-        out[out_col] = [sig] * len(out)
-        return out
+            pair_rows = pair_rows.iloc[0:0]
+        sig = sig_rows["sig_"].iloc[0] if len(pair_rows) else b""
+        arrs = {"id1": pair_rows["id1"].to_numpy(dtype=np.int64),
+                "id2": pair_rows["id2"].to_numpy(dtype=np.int64),
+                out_col: [sig] * len(pair_rows)}
+        for c in carry:
+            arrs[c] = list(pair_rows[c])
+        return pa.table({f.name: pa.array(arrs[f.name], type=f.type)
+                         for f in out_schema})
 
     return tagged.groupby("key_").map_groups(merge, batch_format="pandas")
 
