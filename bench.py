@@ -26,6 +26,40 @@ import sys
 import time
 
 
+def host_probe(ncpus: int) -> dict:
+    """Calibrate the shared host so BENCH numbers are comparable across
+    rounds: a fixed scalar+vector workload timed (a) alone and (b) at
+    ncpus-way saturation. On this sandbox per-core throughput under full
+    occupancy swings 2-4x hour-to-hour with neighbor load (measured:
+    1,154 -> 320 battles/s/core for IDENTICAL parse code, idle vs 28-way),
+    so the flagship wall time only makes sense next to these two numbers.
+    Runs before ray.init, untimed relative to the headline metric."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t = time.time()
+    _probe_work(0)
+    single = time.time() - t
+    t = time.time()
+    with ProcessPoolExecutor(ncpus) as ex:
+        list(ex.map(_probe_work, range(ncpus)))
+    par = time.time() - t
+    return {"single_sec": round(single, 3), f"x{ncpus}_sec": round(par, 3),
+            "saturation_efficiency": round(single / par, 3)}
+
+
+def _probe_work(_i: int) -> int:
+    import hashlib
+
+    import numpy as np
+    a = np.arange(250_000, dtype=np.float64)
+    acc = 0
+    for _ in range(40):
+        acc ^= int((a * 1.0001).sum())
+        acc ^= int.from_bytes(
+            hashlib.blake2b(a.tobytes(), digest_size=8).digest(), "little")
+    return acc
+
+
 def run_bench() -> dict:
     import ray
     import ray.data
@@ -33,6 +67,7 @@ def run_bench() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    probe = host_probe(ncpus)
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
@@ -127,6 +162,7 @@ def run_bench() -> dict:
         "battles": n_battles,
         "battles_per_sec": round(n_battles / queries["parse_route"], 1),
         "pipeline_battles_per_sec": round(n_battles / total, 1),
+        "host_probe": probe,
     }
 
 

@@ -432,3 +432,74 @@ def distributed_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
     st["mean_sim"] = (st["sim_sum"] / st["n"]).round(4)
     return (st[["cluster", "n", "mean_sim"]]
             .sort_values("cluster").reset_index(drop=True))
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
+                   probes: int = 3, train_size: int = 2048,
+                   seed: int = 11) -> pd.DataFrame:
+    """SemDeDup-style semantic near-dup mining (Abbas et al. 2023, public):
+    cluster the embedding space coarsely, then mine exact-cosine pairs only
+    WITHIN clusters — the O(N^2/k) alternative to all-pairs scoring and the
+    natural companion to `embedding_near_dup_lsh` (data-dependent buckets
+    instead of random hyperplanes).
+
+    Scale shape: the quantizer is trained on a bounded driver-side sample
+    and broadcast (like `ivf_topk`); each batch emits `probes` (cluster,
+    vector) rows — multi-probe assignment so boundary pairs whose members
+    straddle two clusters are still co-bucketed; ONE cluster-keyed exchange
+    co-locates each bucket (expected size ~probes*N/k, the documented
+    partitioning assumption); in-bucket scoring is a vectorized matmul.
+    Duplicate pairs found in two shared probes are collapsed by a
+    (id1, id2) groupby, never on the driver. Recall vs the exact
+    `embedding_near_dup` path is pinned in tests."""
+    ds = read_embeddings(sf_dir)
+
+    train = ds.limit(train_size).to_pandas()
+    tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans(tmat, n_clusters, seed=seed)
+    ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            nm = _normalize(mat)
+            near = np.argsort(-(nm @ self.cent.T), axis=1)[:, :probes]
+            tiled = np.tile(nm.astype(np.float64), (probes, 1))
+            return pa.table({
+                "cluster": pa.array(near.T.ravel().astype(np.int32)),
+                "vec_id": pa.array(np.tile(ids, probes), pa.int64()),
+                "vec": pa.array([tiled[i].tobytes()
+                                 for i in range(len(tiled))], pa.binary()),
+            })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack([np.frombuffer(b, dtype=np.float64)
+                        for b in g["vec"]])
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({
+            "id1": np.minimum(a, b).astype(np.int64),
+            "id2": np.maximum(a, b).astype(np.int64),
+            "sim": np.round(sims[iu[keep], ju[keep]], 4),
+        })
+
+    pairs = (ds.map_batches(Assign, batch_format="pyarrow",
+                            concurrency=(1, 8))
+             .groupby("cluster")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # same pair can surface from two shared probe clusters: distributed
+    # distinct on the pair key (self-pairs from tiling excluded by k=1 triu
+    # only within one cluster row set, so drop id1==id2 too)
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["id1"] != g["id2"]]
+        return g.iloc[:1][["id1", "id2", "sim"]]
+
+    out = (pairs.groupby(["id1", "id2"])
+           .map_groups(first, batch_format="pandas").to_pandas())
+    return (out.sort_values(["id1", "id2"]).reset_index(drop=True))

@@ -1,0 +1,135 @@
+"""Benchmark decontamination + repetition-quality filters over `documents`.
+
+Two staples of a large-scale training-data pipeline that the dedup/quality
+families don't cover yet:
+
+- `decontaminate`: flag corpus documents that share any word n-gram with a
+  benchmark/eval set (the standard "n-gram overlap" decontamination used by
+  public LLM data pipelines). The benchmark side is by definition tiny
+  relative to the corpus (MBs of eval sets vs TBs of corpus), so its
+  distinct n-grams are collected once and BROADCAST via `ray.put`; the
+  corpus side streams through a stateful actor pool that reads the set once
+  per worker. No shuffle of the corpus at all — one map. For benchmark sets
+  too large for an exact broadcast set, `ops/dedup.bloom_build` is the
+  drop-in prefilter (zero false negatives: a clean doc is never flagged by
+  the exact verify that follows the filter).
+
+  With no external data allowed, the "benchmark" is a deterministic slice
+  of the documents table itself (doc_id % 37 == 0), which the SQL oracle
+  reproduces exactly.
+
+- `repetition_stats`: Gopher-style per-document repetition/quality signals
+  (Rae et al. 2021, public): top-word fraction, duplicate-3-gram fraction,
+  and unigram entropy. Embarrassingly parallel — one map, no shuffle;
+  per-doc Counters inside a batch (same shape as `ops/text.lang_id`).
+
+Tokenization contract (shared with the SQL oracles): lowercase, split on
+whitespace runs, drop empties — Python `text.lower().split()` ==
+DuckDB `list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')`.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .text import read_documents
+
+BENCH_MOD = 37  # doc_id % 37 == 0 -> the stand-in "benchmark" slice
+
+
+def _grams(words: list[str], n: int) -> list[str]:
+    return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+
+def benchmark_ngrams(sf_dir: str, n: int = 4) -> frozenset[str]:
+    """Distinct word n-grams of the benchmark slice. Each batch emits its
+    in-batch-deduped grams; the driver unions them. The collected object is
+    the broadcast SMALL side (eval sets are MBs), not the corpus."""
+    docs = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % BENCH_MOD == 0], batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seen: set[str] = set()
+        for t in df["text"]:
+            seen.update(_grams(t.lower().split(), n))
+        return pd.DataFrame({"gram": sorted(seen)})
+
+    out: set[str] = set()
+    for b in docs.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        out.update(b["gram"])
+    return frozenset(out)
+
+
+def decontaminate(sf_dir: str, n: int = 4) -> Dataset:
+    """Per non-benchmark document: how many DISTINCT benchmark n-grams it
+    contains (`n_hits`) and a 0/1 `contaminated` flag. A real pipeline
+    filters on the flag; we emit it so the oracle can check the whole
+    decision, not just the survivor count."""
+    import ray
+
+    grams_ref = ray.put(benchmark_ngrams(sf_dir, n))
+    corpus = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % BENCH_MOD != 0], batch_format="pandas")
+
+    class Flag:
+        def __init__(self):
+            self.bench = ray.get(grams_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hits = [len(set(_grams(t.lower().split(), n)) & self.bench)
+                    for t in df["text"]]
+            hits = np.asarray(hits, dtype=np.int64)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_hits": hits,
+                "contaminated": (hits > 0).astype("int64"),
+            })
+
+    return corpus.map_batches(Flag, batch_format="pandas",
+                              concurrency=(1, 4))
+
+
+def _r4(x: float) -> float:
+    """Round half-away-from-zero to 4 dp — DuckDB ROUND semantics (Python
+    round() is banker's and diverges on exact .5 midpoints, e.g. 1/32)."""
+    return float(np.sign(x) * np.floor(abs(x) * 1e4 + 0.5) / 1e4)
+
+
+def repetition_stats(sf_dir: str) -> Dataset:
+    """Per-doc repetition/quality signals (rounded to 4 dp, half-away like
+    the SQL ROUND, to keep the FP-order-independent value hash stable)."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": [], "top_word": [], "top_word_frac": [],
+                "dup_3gram_frac": [], "word_entropy": []}
+        for t in df["text"]:
+            words = t.lower().split()
+            nt = len(words)
+            wc = Counter(words)
+            if nt:
+                top_n = max(wc.values())
+                # deterministic tie-break: lexicographically smallest argmax
+                top_w = min(w for w, c in wc.items() if c == top_n)
+                p = np.array(list(wc.values()), dtype=np.float64) / nt
+                ent = float(-(p * np.log(p)).sum())
+            else:
+                top_n, top_w, ent = 0, "", 0.0
+            g = _grams(words, 3)
+            dup = 1.0 - len(set(g)) / len(g) if g else 0.0
+            rows["n_tokens"].append(nt)
+            rows["top_word"].append(top_w)
+            rows["top_word_frac"].append(_r4(top_n / nt) if nt else 0.0)
+            rows["dup_3gram_frac"].append(_r4(dup))
+            rows["word_entropy"].append(_r4(ent))
+        out = pd.DataFrame(rows)
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas")

@@ -513,6 +513,97 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     return embedding_near_dup_lsh(sf_dir)
 
 
+def _q_decontaminate(sf_dir: str):
+    from .decontam import decontaminate
+    df = _pd(decontaminate(sf_dir).to_pandas())
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS i
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win
+              || ' ' || lead(word,3) OVER win AS gram
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(word,3) OVER win IS NOT NULL
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+  FROM g JOIN bench USING (gram) WHERE g.doc_id % 37 <> 0 GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id
+"""
+
+
+def _q_repetition(sf_dir: str):
+    from .decontam import repetition_stats
+    df = _pd(repetition_stats(sf_dir).to_pandas())
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS i
+  FROM documents
+),
+wc AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens FROM wc GROUP BY 1),
+ranked AS (SELECT doc_id, word, n,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rn
+           FROM wc),
+ent AS (SELECT wc.doc_id AS doc_id,
+               -sum((n * 1.0 / t.n_tokens) * ln(n * 1.0 / t.n_tokens)) AS h
+        FROM wc JOIN tot t USING (doc_id) GROUP BY 1),
+g AS (
+  SELECT doc_id,
+         word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS gram
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(word,2) OVER win IS NOT NULL
+),
+gg AS (SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS dist FROM g GROUP BY 1)
+SELECT t.doc_id, t.n_tokens, r.word AS top_word,
+       ROUND(r.n * 1.0 / t.n_tokens, 4) AS top_word_frac,
+       ROUND(COALESCE(1.0 - gg.dist * 1.0 / gg.total, 0.0), 4) AS dup_3gram_frac,
+       ROUND(ent.h, 4) AS word_entropy
+FROM tot t JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1
+JOIN ent ON ent.doc_id = t.doc_id
+LEFT JOIN gg ON gg.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def _q_heavy_hitters(sf_dir: str):
+    from .io import read_table
+    from .sketch import heavy_hitters
+    return heavy_hitters(read_table(sf_dir, "events", ["user_id"]), "user_id")
+
+
+_SQL_HEAVY_HITTERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+HAVING count(*) >= 0.0075 * (SELECT count(*) FROM events)
+ORDER BY user_id
+"""
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style clustered pair mining — approximate by design
+    (rows-only; recall vs the exact cosine path pinned in tests)."""
+    from .ann import semantic_dedup
+    return semantic_dedup(sf_dir)
+
+
 QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
@@ -548,6 +639,10 @@ QUERIES = {
     "doc_pair_jaccard": _q_pair_jaccard,
     "orders_price_percentiles": _q_price_percentiles,
     "embedding_kmeans": _q_kmeans,
+    "doc_decontaminate": _q_decontaminate,
+    "doc_repetition_stats": _q_repetition,
+    "events_heavy_hitters": _q_heavy_hitters,
+    "embedding_semantic_dedup": _q_semantic_dedup,
 }
 
 ORACLES = {
@@ -576,6 +671,9 @@ ORACLES = {
     "top_parts_per_nation": _SQL_TOP_PARTS,
     "doc_pair_jaccard": _SQL_PAIR_JACCARD,
     "orders_price_percentiles": _SQL_PRICE_PERCENTILES,
+    "doc_decontaminate": _SQL_DECONTAMINATE,
+    "doc_repetition_stats": _SQL_REPETITION,
+    "events_heavy_hitters": _SQL_HEAVY_HITTERS,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

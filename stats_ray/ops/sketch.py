@@ -219,3 +219,83 @@ def approx_quantiles(ds: Dataset, key_col: str, value_col: str,
     part = ds.map_batches(partial, batch_format="pandas")
     return (part.groupby(key_col).map_groups(merge, batch_format="pandas")
             .to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact distributed recount.
+# ---------------------------------------------------------------------------
+
+def _misra_gries(values, counts, k: int) -> dict:
+    """Classic Misra-Gries summary (public 1982 algorithm) over pre-counted
+    (value, count) pairs; at most k counters, per-item undercount bounded by
+    (total weight)/(k+1)."""
+    ctr: dict = {}
+    for v, c in zip(values, counts):
+        if v in ctr:
+            ctr[v] += c
+        elif len(ctr) < k:
+            ctr[v] = c
+        else:
+            # decrement all by the smallest amount that frees a slot
+            dec = min(c, min(ctr.values()))
+            ctr = {u: n - dec for u, n in ctr.items() if n > dec}
+            if c > dec:
+                ctr[v] = c - dec
+    return ctr
+
+
+def heavy_hitters(ds: Dataset, key_col: str, phi: float = 0.0075,
+                  k: int = 256) -> pd.DataFrame:
+    """EXACT frequent-items query at sketch cost: all keys with frequency
+    >= phi * N, computed in two streaming passes.
+
+    Pass 1 (candidates): each batch emits a Misra-Gries summary of at most
+    k counters (rows, not Python state) plus its row count; the driver sums
+    the summaries. Summed MG counters undercount any key's true frequency
+    by at most N/(k+1) total, so every key with true count >= phi*N has
+    merged count >= phi*N - N/(k+1): with k chosen so 1/(k+1) < phi the
+    candidate set provably contains all true heavy hitters. Driver state is
+    O(batches * k), independent of N and of key cardinality.
+
+    Pass 2 (verify): broadcast the candidate set, recount it exactly with
+    an in-batch value_counts + one candidate-sized groupby-sum, and apply
+    the threshold to EXACT counts — so the output matches the plain SQL
+    `GROUP BY ... HAVING count(*) >= phi * N` oracle while never holding a
+    full-cardinality count map anywhere."""
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key_col].value_counts()
+        mg = _misra_gries(vc.index.to_numpy(), vc.to_numpy(), k)
+        out = pd.DataFrame({key_col: list(mg), "c": list(mg.values())})
+        out["rows_"] = np.int64(0)
+        return pd.concat(
+            [out, pd.DataFrame({key_col: [vc.index[0] if len(vc) else 0],
+                                "c": [0], "rows_": [len(df)]})],
+            ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    total = int(parts["rows_"].sum())
+    thresh = phi * total
+    if total and 1.0 / (k + 1) >= phi:
+        raise ValueError(f"k={k} too small for phi={phi}: need k+1 > 1/phi")
+    merged = parts.groupby(key_col)["c"].sum()
+    cand = set(merged[merged >= thresh - total / (k + 1)].index)
+    cand_ref = ray.put(cand)
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df[key_col].isin(self.cand)]
+            vc = sub[key_col].value_counts()
+            return pd.DataFrame({key_col: vc.index, "n": vc.to_numpy()})
+
+    exact = (ds.map_batches(Recount, batch_format="pandas",
+                            concurrency=(1, 4))
+             .groupby(key_col).sum("n").to_pandas())
+    exact = exact.rename(columns={"sum(n)": "n"})
+    exact["n"] = exact["n"].astype("int64")
+    out = exact[exact["n"] >= thresh].sort_values(key_col)
+    return out.reset_index(drop=True)

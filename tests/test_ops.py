@@ -43,7 +43,8 @@ def _norm(df):
     "events_value_quantiles", "range_join_bands", "doc_vocab_topk",
     "doc_sample_det", "doc_tfidf", "multimodal_features",
     "dedup_incremental", "top_parts_per_nation", "doc_pair_jaccard",
-    "orders_price_percentiles",
+    "orders_price_percentiles", "doc_decontaminate", "doc_repetition_stats",
+    "events_heavy_hitters",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -163,3 +164,49 @@ def test_resolve_clusters_union_find(ray_session):
     # {1,3,5,9} one cluster rooted at 1; {20,21} rooted at 20
     assert out[3] == 1 and out[5] == 1 and out[9] == 1 and out[1] == 1
     assert out[21] == 20 and out[20] == 20
+
+
+def test_semantic_dedup_recall_and_soundness(ray_session):
+    """Clustered (SemDeDup-style) pair mining: every emitted pair must be a
+    true near-dup (exact cosines inside the bucket -> soundness), and
+    multi-probe assignment must recover most of the exact pair set."""
+    from stats_ray.ops.ann import embedding_near_dup, semantic_dedup
+    exact = embedding_near_dup(SF)
+    ep = set(zip(exact["id1"], exact["id2"]))
+    sd = semantic_dedup(SF)
+    sp = set(zip(sd["id1"], sd["id2"]))
+    assert sp <= ep                      # no false pairs
+    assert len(sp & ep) / max(len(ep), 1) >= 0.85   # measured 0.95 @ probes=3
+
+
+def test_heavy_hitters_exact_on_skew(ray_session):
+    """Misra-Gries candidates + exact recount == plain GROUP BY/HAVING,
+    on a zipf-skewed key column where per-batch summaries actually truncate
+    (cardinality >> k)."""
+    import ray.data
+
+    from stats_ray.ops.sketch import heavy_hitters
+    rng = np.random.RandomState(5)
+    keys = rng.zipf(1.3, size=200_000) % 50_000
+    df = pd.DataFrame({"user_id": keys.astype("int64")})
+    phi = 0.005
+    got = heavy_hitters(ray.data.from_pandas(df).repartition(16),
+                        "user_id", phi=phi, k=256)
+    vc = df["user_id"].value_counts()
+    want = vc[vc >= phi * len(df)].sort_index()
+    assert list(got["user_id"]) == list(want.index)
+    assert list(got["n"]) == list(want.values)
+
+
+def test_misra_gries_undercount_bound():
+    from stats_ray.ops.sketch import _misra_gries
+    rng = np.random.RandomState(9)
+    vals = rng.zipf(1.5, size=50_000) % 1000
+    vc = pd.Series(vals).value_counts()
+    k = 64
+    mg = _misra_gries(vc.index.to_numpy(), vc.to_numpy(), k)
+    n = len(vals)
+    for v, c in mg.items():
+        true = int(vc[v])
+        assert c <= true                       # never overcounts
+        assert true - c <= n / (k + 1)         # bounded undercount
