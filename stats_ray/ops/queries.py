@@ -604,6 +604,22 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(sf_dir)
 
 
+def _q_stratified(sf_dir: str):
+    from .relational import stratified_sample
+    df = _pd(stratified_sample(sf_dir).to_pandas())
+    return df.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+_SQL_STRATIFIED = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events) WHERE rn <= 5
+ORDER BY event_type, event_id
+"""
+
+
 QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
@@ -643,6 +659,7 @@ QUERIES = {
     "doc_repetition_stats": _q_repetition,
     "events_heavy_hitters": _q_heavy_hitters,
     "embedding_semantic_dedup": _q_semantic_dedup,
+    "events_stratified_sample": _q_stratified,
 }
 
 ORACLES = {
@@ -674,6 +691,7 @@ ORACLES = {
     "doc_decontaminate": _SQL_DECONTAMINATE,
     "doc_repetition_stats": _SQL_REPETITION,
     "events_heavy_hitters": _SQL_HEAVY_HITTERS,
+    "events_stratified_sample": _SQL_STRATIFIED,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -235,3 +235,35 @@ def top_parts_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
            .reset_index(drop=True))
     out["l_partkey"] = out["l_partkey"].astype("int64")
     return out
+
+
+def stratified_sample(sf_dir: str, k: int = 5) -> Dataset:
+    """Deterministic stratified sampling: exactly k events per event_type,
+    chosen by smallest md5(event_id) — content-addressed, so the sample is
+    stable under repartitioning, resumes, and cluster size (the same
+    property `doc_sample_det` uses for Bernoulli sampling, applied per
+    stratum with an exact-k guarantee).
+
+    Scale shape: each batch pre-selects its own top-k per stratum (a
+    candidate set of <= k * strata * batches tiny rows), then one
+    stratum-keyed exchange picks the global top-k per stratum — the full
+    event log is never shuffled or sorted."""
+    import hashlib
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["event_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "event_id": df["event_id"].astype("int64"),
+                            "h": h})
+        return (out.sort_values(["h", "event_id"])
+                .groupby("event_type", sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["h", "event_id"]).head(k)
+                [["event_type", "event_id"]])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(final, batch_format="pandas"))

@@ -139,23 +139,25 @@ class Fingerprint:
     winnowed rolling-hash sketch (min of k-gram Rabin hashes — rows-only)."""
 
     K = 5
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    _SHIFTS = np.arange(8 * 4, -1, -8, dtype=np.uint64)  # pack 5 bytes -> 40 bits
 
     def _winnow(self, text: str) -> int:
-        data = text.encode()
+        """Min over all K-byte windows of a mixed window hash. The window is
+        packed EXACTLY into 40 bits (collision-free) with one vectorized
+        shift+sum, then avalanched with the public-domain splitmix64
+        finalizer — no per-char Python loop (the first version's Rabin
+        rolling hash was the one remaining per-char kernel in this module)."""
+        data = np.frombuffer(text.encode(), dtype=np.uint8)
         if len(data) < self.K:
             return 0
-        h = 0
-        power = pow(self.BASE, self.K - 1, self.MOD)
-        best = self.MOD
-        for i, b in enumerate(data):
-            if i >= self.K:
-                h = (h - data[i - self.K] * power) % self.MOD
-            h = (h * self.BASE + b) % self.MOD
-            if i >= self.K - 1:
-                best = min(best, h)
-        return best
+        w = np.lib.stride_tricks.sliding_window_view(data, self.K)
+        packed = (w.astype(np.uint64) << self._SHIFTS).sum(
+            axis=1, dtype=np.uint64)
+        z = packed + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return int(z.min())
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -44,7 +44,7 @@ def _norm(df):
     "doc_sample_det", "doc_tfidf", "multimodal_features",
     "dedup_incremental", "top_parts_per_nation", "doc_pair_jaccard",
     "orders_price_percentiles", "doc_decontaminate", "doc_repetition_stats",
-    "events_heavy_hitters",
+    "events_heavy_hitters", "events_stratified_sample",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
