@@ -620,6 +620,61 @@ ORDER BY event_type, event_id
 """
 
 
+def _q_json_props(sf_dir: str):
+    from .relational import events_json_props
+    df = _pd(events_json_props(sf_dir))
+    df["n"] = df["n"].astype("int64")
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_retention(sf_dir: str):
+    from .relational import events_retention
+    df = _pd(events_retention(sf_dir))
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+_SQL_RETENTION = """
+WITH u AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+     c AS (SELECT user_id, MIN(d) cohort FROM u GROUP BY 1)
+SELECT CAST(c.cohort AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', c.cohort, u.d) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_funnel(sf_dir: str):
+    from .relational import events_funnel
+    return events_funnel(sf_dir)
+
+
+_SQL_FUNNEL = """
+WITH s1 AS (SELECT user_id, MIN(ts) t1 FROM events
+            WHERE event_type = 'click' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) step_idx, 'click' step,
+         CAST(COUNT(*) AS BIGINT) n_users FROM s1
+  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+ORDER BY step_idx
+"""
+
+
 QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
@@ -660,6 +715,9 @@ QUERIES = {
     "events_heavy_hitters": _q_heavy_hitters,
     "embedding_semantic_dedup": _q_semantic_dedup,
     "events_stratified_sample": _q_stratified,
+    "events_json_props": _q_json_props,
+    "events_retention": _q_retention,
+    "events_funnel": _q_funnel,
 }
 
 ORACLES = {
@@ -692,6 +750,9 @@ ORACLES = {
     "doc_repetition_stats": _SQL_REPETITION,
     "events_heavy_hitters": _SQL_HEAVY_HITTERS,
     "events_stratified_sample": _SQL_STRATIFIED,
+    "events_json_props": _SQL_JSON_PROPS,
+    "events_retention": _SQL_RETENTION,
+    "events_funnel": _SQL_FUNNEL,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

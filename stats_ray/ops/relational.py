@@ -267,3 +267,118 @@ def stratified_sample(sf_dir: str, k: int = 5) -> Dataset:
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("event_type").map_groups(final, batch_format="pandas"))
+
+
+def events_json_props(sf_dir: str) -> Dataset:
+    """JSON field extraction over a log table: pull the numeric `k` field out
+    of the `props` JSON column and roll it up per event_type — the
+    ubiquitous semi-structured-log step (cf. DuckDB json_extract).
+
+    Scale shape: a compiled-regex scalar fast path extracts the field
+    vectorized (the simdjson-style trick: most log lines are flat, schema-
+    stable JSON); rows the fast path cannot parse fall back to a real
+    json.loads — per-row Python only on the rare irregular line. One
+    in-batch partial combine, then a tiny per-type exchange."""
+    import json
+    import re
+
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+    fast = re.compile(r'^\s*\{\s*"k"\s*:\s*(-?\d+)\s*\}\s*$')
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ext = df["props"].str.extract(fast, expand=False)
+        k = pd.to_numeric(ext, errors="coerce")
+        miss = k.isna() & df["props"].notna()
+        if miss.any():  # irregular lines: real JSON parse, rare by contract
+            k.loc[miss] = [json.loads(s).get("k")
+                           for s in df.loc[miss, "props"]]
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "n": 1, "sum_k": k.astype("int64")})
+        return out.groupby("event_type", as_index=False).sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_k", alias_name="sum_k")))
+
+
+def events_retention(sf_dir: str) -> Dataset:
+    """Cohort retention matrix: users grouped by first-active day (cohort),
+    counted at each day offset they return. The classic product-analytics
+    rollup over an event log.
+
+    Scale shape: stage 1 dedups (user, day) inside each batch (activity is
+    bursty, so this collapses most rows before any exchange); stage 2 is ONE
+    user-keyed exchange whose groups emit <= active-days tiny rows
+    (cohort_day, day_offset); stage 3 aggregates over the small
+    cohort x offset grid. The raw log is never globally sorted."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def distinct_days(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "day": df["ts"].dt.normalize()})
+        return out.drop_duplicates()
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["day"].drop_duplicates().sort_values()
+        cohort = days.iloc[0]
+        return pd.DataFrame({
+            "cohort_day": cohort.strftime("%Y-%m-%d"),
+            "day_offset": ((days - cohort).dt.days).astype("int64"),
+            "n_users": 1,
+        })
+
+    return (ds.map_batches(distinct_days, batch_format="pandas")
+            .groupby("user_id").map_groups(offsets, batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+FUNNEL_STEPS = ["click", "view", "purchase"]
+FUNNEL_WINDOW_HOURS = 24
+
+
+def events_funnel(sf_dir: str, steps=None, window_hours: int = None
+                  ) -> pd.DataFrame:
+    """Ordered funnel conversion: for each user, the earliest step-1 event,
+    then the earliest step-2 event within `window_hours` after it, and so
+    on; reports how many users reach each step. Strictly-ordered,
+    windowed — the semantics ad-hoc SQL gets wrong and log pipelines need.
+
+    Scale shape: the read filters to funnel event types only (column + row
+    pruning), then ONE user-keyed exchange; each group does a few
+    vectorized scans (one per step). The per-user result is a single
+    max-step row; the final rollup is over n_steps rows."""
+    steps = steps or FUNNEL_STEPS
+    window = pd.Timedelta(hours=window_hours or FUNNEL_WINDOW_HOURS)
+    step_set = set(steps)
+
+    ds = (_t(sf_dir, "events", ["user_id", "ts", "event_type"])
+          .filter(expr=f"event_type in {sorted(step_set)!r}"))
+
+    def max_step(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.loc[g["event_type"] == steps[0], "ts"].min()
+        reached = 0
+        if pd.notna(t):
+            reached = 1
+            for s in steps[1:]:
+                nxt = g.loc[(g["event_type"] == s) & (g["ts"] > t)
+                            & (g["ts"] <= t + window), "ts"].min()
+                if pd.isna(nxt):
+                    break
+                t = nxt
+                reached += 1
+        return pd.DataFrame({"reached": [reached]})
+
+    hist = (ds.groupby("user_id").map_groups(max_step, batch_format="pandas")
+            .groupby("reached").aggregate(Count(alias_name="n")).to_pandas())
+    # tiny driver rollup: users reaching step i = sum of reached >= i
+    by = dict(zip(hist["reached"].astype(int), hist["n"].astype(int)))
+    rows = []
+    for i, s in enumerate(steps, start=1):
+        rows.append({"step_idx": i, "step": s,
+                     "n_users": sum(v for r, v in by.items() if r >= i)})
+    out = pd.DataFrame(rows)
+    out["step_idx"] = out["step_idx"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out

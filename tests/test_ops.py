@@ -45,6 +45,7 @@ def _norm(df):
     "dedup_incremental", "top_parts_per_nation", "doc_pair_jaccard",
     "orders_price_percentiles", "doc_decontaminate", "doc_repetition_stats",
     "events_heavy_hitters", "events_stratified_sample",
+    "events_json_props", "events_retention", "events_funnel",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
