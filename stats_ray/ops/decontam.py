@@ -133,3 +133,62 @@ def repetition_stats(sf_dir: str) -> Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pandas")
+
+
+def clean_corpus(sf_dir: str, n: int = 4, min_tokens: int = 20,
+                 min_ttr: float = 0.35) -> "Dataset":
+    """Composed training-data cleaning pipeline with full accounting: every
+    document gets a `status` — the FIRST gate it failed, in pipeline order
+    (bench / too_short / low_diversity / contaminated / duplicate), or
+    'kept'. Filter-with-audit rather than silent filtering: dropped-count
+    by reason is exactly what a 100-TB curation run needs to report, and it
+    makes the whole composition one oracle-checkable relation.
+
+    Scale shape: ONE broadcast-side build (benchmark n-grams via ray.put,
+    same small side decontaminate() uses), ONE stateless map_batches pass
+    computing tokens/ttr/contamination/text-hash per doc, then ONE
+    hash-keyed exchange for exact-dup marking — rows that already failed a
+    gate ride through it as salted singleton groups, so there is no branch,
+    no union, no mid-pipeline materialization."""
+    import hashlib
+
+    import ray
+
+    grams_ref = ray.put(benchmark_ngrams(sf_dir, n))
+
+    class Gate:
+        def __init__(self):
+            self.bench = ray.get(grams_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            status, hkey = [], []
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                toks = text.lower().split()
+                if doc_id % BENCH_MOD == 0:
+                    st = "bench"
+                elif len(toks) < min_tokens:
+                    st = "too_short"
+                elif len(set(toks)) / max(len(toks), 1) < min_ttr:
+                    st = "low_diversity"
+                elif any(g in self.bench for g in _grams(toks, n)):
+                    st = "contaminated"
+                else:
+                    st = "kept"
+                status.append(st)
+                # kept docs group by content hash; failed docs ride the same
+                # exchange as salted singletons (no branch/union needed)
+                hkey.append(hashlib.md5(text.encode()).hexdigest()
+                            if st == "kept" else f"x{doc_id}")
+            return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                                 "status": status, "h": hkey})
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        st = g["status"].to_numpy(copy=True)
+        if len(g) > 1 and st[0] == "kept":
+            st[1:] = "duplicate"
+        return pd.DataFrame({"doc_id": g["doc_id"], "status": st})
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(Gate, batch_format="pandas", concurrency=(1, 4))
+            .groupby("h").map_groups(mark_dups, batch_format="pandas"))

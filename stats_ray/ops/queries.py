@@ -675,6 +675,51 @@ ORDER BY step_idx
 """
 
 
+def _q_clean_corpus(sf_dir: str):
+    from .decontam import clean_corpus
+    df = _pd(clean_corpus(sf_dir).to_pandas())
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_CLEAN_CORPUS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS i
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win
+              || ' ' || lead(word,3) OVER win AS gram
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(word,3) OVER win IS NOT NULL
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hits AS (SELECT g.doc_id FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 37 <> 0 GROUP BY 1),
+t AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') toks
+      FROM documents),
+s0 AS (
+  SELECT t.doc_id, t.text,
+         CASE WHEN t.doc_id % 37 = 0 THEN 'bench'
+              WHEN len(toks) < 20 THEN 'too_short'
+              WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / GREATEST(len(toks), 1) < 0.35 THEN 'low_diversity'
+              WHEN hits.doc_id IS NOT NULL THEN 'contaminated'
+              ELSE 'kept' END AS st
+  FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+),
+k AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+      FROM s0 WHERE st = 'kept')
+SELECT s0.doc_id, CASE WHEN k.rn > 1 THEN 'duplicate' ELSE s0.st END AS status
+FROM s0 LEFT JOIN k ON s0.doc_id = k.doc_id
+ORDER BY s0.doc_id
+"""
+
+
 QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
@@ -718,6 +763,7 @@ QUERIES = {
     "events_json_props": _q_json_props,
     "events_retention": _q_retention,
     "events_funnel": _q_funnel,
+    "doc_clean_corpus": _q_clean_corpus,
 }
 
 ORACLES = {
@@ -753,6 +799,7 @@ ORACLES = {
     "events_json_props": _SQL_JSON_PROPS,
     "events_retention": _SQL_RETENTION,
     "events_funnel": _SQL_FUNNEL,
+    "doc_clean_corpus": _SQL_CLEAN_CORPUS,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

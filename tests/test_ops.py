@@ -46,6 +46,7 @@ def _norm(df):
     "orders_price_percentiles", "doc_decontaminate", "doc_repetition_stats",
     "events_heavy_hitters", "events_stratified_sample",
     "events_json_props", "events_retention", "events_funnel",
+    "doc_clean_corpus",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -211,3 +212,30 @@ def test_misra_gries_undercount_bound():
         true = int(vc[v])
         assert c <= true                       # never overcounts
         assert true - c <= n / (k + 1)         # bounded undercount
+
+
+def test_clean_corpus_marks_planted_duplicate(ray_session, tmp_path):
+    """Plant an exact duplicate of a kept doc and check clean_corpus marks
+    the higher doc_id 'duplicate' while the original stays 'kept' (the
+    driver corpus has no exact dups, so the dedup gate is otherwise idle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from stats_ray.ops.decontam import clean_corpus
+
+    base = duckdb.sql(
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet')").df()
+    st = clean_corpus(SF).to_pandas()
+    kept_id = int(st.loc[st["status"] == "kept", "doc_id"].min())
+    text = base.loc[base["doc_id"] == kept_id, "text"].iloc[0]
+    extra = pd.DataFrame({
+        "doc_id": [990002], "text": [text], "lang": ["en"],
+        "source": ["dup"], "n_chars": [len(text)]})
+    d = tmp_path / "docs_clean"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        pd.concat([base, extra], ignore_index=True), preserve_index=False),
+        str(d / "documents.parquet"))
+
+    out = clean_corpus(str(d)).to_pandas().set_index("doc_id")["status"]
+    assert out.loc[kept_id] == "kept"
+    assert out.loc[990002] == "duplicate"
