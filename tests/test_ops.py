@@ -130,10 +130,12 @@ def test_multimodal_plumbing(ray_session):
                   "payload": [b"123"]})
     with pytest.raises(NotImplementedError):
         ImageDecode(fake=False)(t)
-    # deterministic: same payload -> same digest
+    # deterministic: same payload -> same digest (block arrival order is
+    # not part of the Dataset contract, so compare keyed by media_id)
     f2 = media_features(64).to_pandas()
-    assert feats["features"].map(lambda d: d["digest"]).tolist() == \
-        f2["features"].map(lambda d: d["digest"]).tolist()
+    a = feats.sort_values("media_id")["features"].map(lambda d: d["digest"])
+    b = f2.sort_values("media_id")["features"].map(lambda d: d["digest"])
+    assert a.tolist() == b.tolist()
 
 
 def test_bloom_no_false_negatives(ray_session):
