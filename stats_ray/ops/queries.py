@@ -720,6 +720,28 @@ ORDER BY s0.doc_id
 """
 
 
+def _q_pack_sequences(sf_dir: str):
+    from .text import pack_sequences
+    df = _pd(pack_sequences(sf_dir).to_pandas())
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH t AS (SELECT doc_id,
+                  len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) n
+           FROM documents),
+p AS (SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) prefix
+      FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(prefix AS BIGINT) AS prefix_tokens,
+       CAST(prefix // 512 AS BIGINT) AS seq_id
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
@@ -764,6 +786,7 @@ QUERIES = {
     "events_retention": _q_retention,
     "events_funnel": _q_funnel,
     "doc_clean_corpus": _q_clean_corpus,
+    "doc_pack_sequences": _q_pack_sequences,
 }
 
 ORACLES = {
@@ -800,6 +823,7 @@ ORACLES = {
     "events_retention": _SQL_RETENTION,
     "events_funnel": _SQL_FUNNEL,
     "doc_clean_corpus": _SQL_CLEAN_CORPUS,
+    "doc_pack_sequences": _SQL_PACK_SEQUENCES,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

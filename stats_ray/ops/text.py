@@ -289,3 +289,57 @@ def tfidf(sf_dir: str) -> pd.DataFrame:
 
     return (tf.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
             .to_pandas())
+
+
+def pack_sequences(sf_dir: str, capacity: int = 512,
+                   bucket_size: int = 64) -> Dataset:
+    """Sequence packing for training: assign each document (in doc_id order)
+    to the fixed-`capacity`-token sequence its running token offset lands
+    in — block packing, the deterministic scheme sequence loaders use.
+    Emits (doc_id, n_tokens, prefix_tokens, seq_id).
+
+    Scale shape — a distributed EXCLUSIVE PREFIX SUM, the primitive ordered
+    packing needs and Ray Data lacks natively, done in two phases with no
+    global sort: docs are co-located into contiguous doc_id ranges by a
+    computed bucket key (dense ids -> doc_id // bucket_size, so the
+    'exchange' is a hash groupby, not a range shuffle); per-bucket token
+    totals (ONE tiny row per bucket) come back to the driver for the
+    exclusive scan across buckets; the per-bucket offsets are broadcast back
+    and each bucket finishes its local cumsum independently. Driver memory
+    is O(n_buckets), never O(docs)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split().str.len().fillna(0).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": n,
+            "bucket": (df["doc_id"] // bucket_size).astype("int64"),
+        })
+
+    cnt = ds.map_batches(counts, batch_format="pandas")
+
+    # phase 1: one tiny row per bucket -> exclusive scan on the driver
+    totals = (cnt.groupby("bucket")
+              .aggregate(Sum("n_tokens", alias_name="tot")).to_pandas()
+              .sort_values("bucket").reset_index(drop=True))
+    totals["offset"] = totals["tot"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(totals["bucket"].astype(int),
+                       totals["offset"].astype(int)))
+
+    # phase 2: per-bucket local cumsum + broadcast offset (offsets dict is
+    # O(n_buckets) — rides the task closure like other small sides)
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        prefix = (g["n_tokens"].cumsum().shift(fill_value=0)
+                  + offsets[int(g["bucket"].iloc[0])])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "prefix_tokens": prefix.astype("int64"),
+            "seq_id": (prefix // capacity).astype("int64"),
+        })
+
+    return cnt.groupby("bucket").map_groups(assign, batch_format="pandas")

@@ -46,7 +46,7 @@ def _norm(df):
     "orders_price_percentiles", "doc_decontaminate", "doc_repetition_stats",
     "events_heavy_hitters", "events_stratified_sample",
     "events_json_props", "events_retention", "events_funnel",
-    "doc_clean_corpus",
+    "doc_clean_corpus", "doc_pack_sequences",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
