@@ -28,23 +28,9 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from .. import dex
-from ..dex import to_id
+from ..gendex import get_dex, to_id
 from ..tokens import canonical_json, decode_column, encode_strings
-
-_IDENT = re.compile(r"^p\d[a-d]?: ")
-
-DROP = {
-    "", "c", "c:", "t:", ":", "chat", "join", "leave", "l", "j", "n", "name",
-    "unlink", "raw", "html", "uhtml", "uhtmlchange", "warning", "error",
-    "bigerror", "chatmsg", "chatmsg-raw", "controlshtml", "hidelines",
-    "fieldhtml", "inactive", "inactiveoff", "debug", "seed", "message",
-    "-message", "-hint",
-}
-KEEP = {
-    "done", "gametype", "gen", "tier", "rule", "teamsize", "clearpoke",
-    "teampreview", "start", "rated", "turn", "upkeep", "tie",
-}
+from .anon_protocol import DROP, KEEP, anonymize_line  # noqa: F401 (re-export)
 
 
 def _hash(s: str, salt: str) -> str:
@@ -52,7 +38,11 @@ def _hash(s: str, salt: str) -> str:
 
 
 class Verifier:
-    """anon/src/index.ts:481-506."""
+    """anon/src/index.ts:481-506.
+
+    The regex is built lazily on the FIRST verify() call and then frozen —
+    exactly like the reference (names added after the first verification do
+    not extend the pattern)."""
 
     def __init__(self):
         self.names: set[str] = set()
@@ -60,8 +50,7 @@ class Verifier:
         self._regex = None
 
     def verify(self, inp: str, out: str) -> bool:
-        if self._regex is None or getattr(self, "_n", -1) != len(self.names):
-            self._n = len(self.names)
+        if self._regex is None:
             parts = []
             for n in self.names:
                 safe = re.escape(n)
@@ -80,14 +69,44 @@ class Verifier:
         return not self.leaks
 
 
+def anonymize_team(team: list[dict], *, salt: str | None = None,
+                   prefix: str = "", pokemon_map: dict | None = None,
+                   verifier: Verifier | None = None,
+                   dex_name: str = "synth") -> list[dict]:
+    """anon/src/index.ts:105-131 — nickname -> base-species display name
+    (or salted md5 hash); registers `'<prefix><name>'` in pokemon_map."""
+    dx = get_dex(dex_name)
+    out = []
+    for p in team or []:
+        p = dict(p)
+        name = p.get("name") or p.get("species") or ""
+        if salt:
+            anon_name = _hash(name, salt)
+        else:
+            sid = dx.species_id(p.get("species") or name)
+            anon_name = (dx.SPECIES[dx.base_species(sid)]["name"]
+                         if sid else (p.get("species") or name))
+        p["name"] = anon_name
+        if pokemon_map is not None:
+            pokemon_map[f"{prefix}{name}"] = anon_name
+        if anon_name != name and verifier:
+            verifier.names.add(name)
+        out.append(p)
+    return out
+
+
 def anonymize_doc(doc: dict, salt: str | None = None,
-                  verifier: Verifier | None = None) -> dict:
+                  verifier: Verifier | None = None,
+                  dex_name: str = "synth") -> dict:
+    """Full Log -> AnonymizedLog (anon/src/index.ts:61-103), byte-parity
+    with the reference's anon/salt goldens (tests/test_anon_parity.py)."""
     p1_raw, p2_raw = doc.get("p1", ""), doc.get("p2", "")
     p1 = _hash(p1_raw, salt) if salt else "Player 1"
     p2 = _hash(p2_raw, salt) if salt else "Player 2"
     winner_raw = doc.get("winner", "")
     winner = p1 if winner_raw == p1_raw else p2 if winner_raw == p2_raw else ""
 
+    player_map = {to_id(p1_raw): p1, to_id(p2_raw): p2}
     if verifier:
         verifier.names.add(p1_raw)
         verifier.names.add(p2_raw)
@@ -95,85 +114,17 @@ def anonymize_doc(doc: dict, salt: str | None = None,
     def simplify_rating(r):
         return {"rpr": r["rpr"], "rprd": r["rprd"]} if r else None
 
-    nick_map: dict[tuple[str, str], str] = {}
-
-    def anon_team(side: str, team: list[dict]) -> list[dict]:
-        out = []
-        for p in team or []:
-            p = dict(p)
-            name = p.get("name") or p.get("species") or ""
-            if salt:
-                anon_name = _hash(name, salt)
-            else:
-                sid = dex.species_id(p.get("species") or name)
-                anon_name = (dex.SPECIES[dex.base_species(sid)]["name"]
-                             if sid else (p.get("species") or name))
-            p["name"] = anon_name
-            nick_map[(side, name)] = anon_name
-            if anon_name != name and verifier:
-                verifier.names.add(name)
-            out.append(p)
-        return out
-
-    p1team = anon_team("p1", doc.get("p1team"))
-    p2team = anon_team("p2", doc.get("p2team"))
-
-    def anon_ident(field: str) -> str:
-        # 'p1a: Nick' -> 'p1a: <anon>'
-        m = _IDENT.match(field)
-        if not m:
-            return field
-        pos = field[:m.end()]
-        nick = field[m.end():]
-        side = pos[:2]
-        if (side, nick) in nick_map:
-            return pos + nick_map[(side, nick)]
-        # The stored team name may be a truncated PREFIX of the protocol
-        # nickname (parser.ts:358-377) — resolve with the same
-        # longest-prefix rule the parser uses, register the full protocol
-        # nickname with the Verifier, and cache the mapping. An unmapped
-        # ident is an error, never a passthrough (the reference anonymizer
-        # throws 'Unknown pokemon', anon/src/index.ts:433-440) — falling
-        # back to the raw nickname would leak it.
-        best = None
-        for (s, stored), anon_name in nick_map.items():
-            if s == side and stored and nick.startswith(stored):
-                if best is None or len(stored) > len(best[0]):
-                    best = (stored, anon_name)
-        if best is not None:
-            if verifier and nick != best[1]:
-                verifier.names.add(nick)
-            nick_map[(side, nick)] = best[1]
-            return pos + best[1]
-        raise ValueError(f"Unknown pokemon '{field}'")
-
-    def anon_line(line: str):
-        if line == "":
-            return line
-        if not line.startswith("|"):
-            return None
-        parts = line.split("|")
-        cmd = parts[1] if len(parts) > 1 else ""
-        if cmd in DROP:
-            return None
-        if cmd in KEEP:
-            return line
-        if cmd == "win":
-            w = parts[2] if len(parts) > 2 else ""
-            anon_w = p1 if w == p1_raw else p2 if w == p2_raw else ""
-            return f"|win|{anon_w}"
-        if cmd == "player":
-            if len(parts) < 4 or not parts[3]:
-                return line
-            who = p1 if parts[3] == p1_raw else p2 if parts[3] == p2_raw else ""
-            return f"|player|{parts[2]}|{who}|1|"
-        # mechanical lines: rewrite every ident-shaped field
-        new = parts[:2] + [anon_ident(f) for f in parts[2:]]
-        return "|".join(new)
+    pokemon_map: dict[str, str] = {}
+    p1team = anonymize_team(doc.get("p1team"), salt=salt, prefix="p1: ",
+                            pokemon_map=pokemon_map, verifier=verifier,
+                            dex_name=dex_name)
+    p2team = anonymize_team(doc.get("p2team"), salt=salt, prefix="p2: ",
+                            pokemon_map=pokemon_map, verifier=verifier,
+                            dex_name=dex_name)
 
     log = []
     for line in doc.get("log") or []:
-        anon = anon_line(line)
+        anon = anonymize_line(line, player_map, pokemon_map, verifier)
         if anon is not None:
             if verifier:
                 verifier.verify(line, anon)
@@ -186,9 +137,8 @@ def anonymize_doc(doc: dict, salt: str | None = None,
                 verifier.verify(line, line)
             input_log.append(line)
 
-    return {
+    out = {
         "format": doc.get("format"),
-        "endType": doc.get("endType"),
         "turns": doc.get("turns"),
         "score": doc.get("score"),
         "p1rating": simplify_rating(doc.get("p1rating")),
@@ -197,6 +147,9 @@ def anonymize_doc(doc: dict, salt: str | None = None,
         "p1team": p1team, "p2team": p2team,
         "log": log, "inputLog": input_log,
     }
+    if "endType" in doc:
+        out["endType"] = doc["endType"]
+    return out
 
 
 def sample_mask(doc_ids: list[str], rate: float, salt: str = "anon") -> list[bool]:
