@@ -345,8 +345,19 @@ SYNTH_DEX = _register_dex(GenDex(
 ))
 
 
+# Composite "<format><SHARD_SEP><tag>" keys let the monotype shard fan-out
+# ride every format-keyed aggregate unchanged (one exchange for all shards);
+# schedule lookups resolve against the base format.
+SHARD_SEP = "\x1f"
+
+
+def base_format(format_id: str) -> str:
+    return format_id.split(SHARD_SEP, 1)[0]
+
+
 def cutoffs_for(format_id: str) -> list[int]:
-    return POPULAR_CUTOFFS if format_id in POPULAR_FORMATS else DEFAULT_CUTOFFS
+    return (POPULAR_CUTOFFS if base_format(format_id) in POPULAR_FORMATS
+            else DEFAULT_CUTOFFS)
 
 
 def skip_format(format_id: str) -> bool:

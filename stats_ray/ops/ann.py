@@ -77,18 +77,58 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFra
     return out[["query_id", "neighbor_id", "sim"]]
 
 
-def _broadcast_matrix(ds: Dataset):
+def _broadcast_matrix(ds: Dataset, max_rows: int = 1_000_000):
     """Accumulate (ids, normalized matrix) from Arrow batches and ray.put
     it ONCE — the broadcast side never goes through pandas and lives in the
-    object store, not per-task closures."""
-    id_chunks, mat_chunks = [], []
+    object store, not per-task closures.
+
+    Guarded: this materializes the WHOLE embedding table as one dense
+    matrix, which is only valid for the exact/oracle path or a genuine
+    dimension table. Use embedding_near_dup_lsh / semantic_dedup for real
+    corpora (they bucket before scoring and never build a global matrix)."""
+    id_chunks, mat_chunks, total = [], [], 0
     for t in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        total += len(t)
+        if total > max_rows:
+            raise ValueError(
+                f"_broadcast_matrix: >{max_rows} rows — the exact path "
+                "builds a driver-side N x d matrix; use "
+                "embedding_near_dup_lsh or semantic_dedup at this scale")
         ids, mat = _to_matrix(t)
         id_chunks.append(ids)
         mat_chunks.append(_normalize(mat))
     ids_all = np.concatenate(id_chunks)
     m_all = np.vstack(mat_chunks)
     return ray.put((ids_all, m_all))
+
+
+def _chunked_cosine_pairs(ids: np.ndarray, mat: np.ndarray,
+                          threshold: float, cap: int) -> pd.DataFrame:
+    """All upper-triangle pairs with cosine >= threshold from ONE bucket,
+    with every similarity block bounded to cap x cap — worker memory stays
+    O(cap^2) no matter how degenerate the bucket (e.g. every vector
+    identical), while still touching each (i, j) pair exactly once."""
+    n = len(ids)
+    frames = []
+    for lo in range(0, n, cap):
+        a = mat[lo:lo + cap]
+        for lo2 in range(lo, n, cap):
+            sims = a @ mat[lo2:lo2 + cap].T
+            ci, cj = np.nonzero(sims >= threshold)
+            gi, gj = ci + lo, cj + lo2
+            keep = gj > gi
+            if not keep.any():
+                continue
+            i1, i2 = ids[gi[keep]], ids[gj[keep]]
+            frames.append(pd.DataFrame({
+                "id1": np.minimum(i1, i2).astype(np.int64),
+                "id2": np.maximum(i1, i2).astype(np.int64),
+                "sim": sims[ci[keep], cj[keep]]}))
+    if not frames:
+        return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                             "id2": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    return pd.concat(frames, ignore_index=True)
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
@@ -175,26 +215,13 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id")
-        n = len(g)
-        if n < 2:
+        if len(g) < 2:
             return pd.DataFrame({"id1": pd.Series(dtype="int64"),
                                  "id2": pd.Series(dtype="int64"),
                                  "sim": pd.Series(dtype="float64")})
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy())
-        frames = []
-        for lo in range(0, n, all_pairs_cap):
-            chunk = m[lo:lo + all_pairs_cap]
-            sims = chunk @ m[lo:].T
-            ci, cj = np.nonzero(sims >= threshold)
-            keep = (cj + lo) > (ci + lo)  # upper triangle across chunks
-            ci, cj = ci[keep], cj[keep]
-            i1, i2 = ids[ci + lo], ids[cj + lo]
-            lo_id, hi_id = np.minimum(i1, i2), np.maximum(i1, i2)
-            frames.append(pd.DataFrame({
-                "id1": lo_id, "id2": hi_id,
-                "sim": sims[ci, cj]}))
-        return pd.concat(frames, ignore_index=True)
+        return _chunked_cosine_pairs(
+            g["vec_id"].to_numpy(), np.stack(g["embedding"].to_numpy()),
+            threshold, all_pairs_cap)
 
     pairs = coded.groupby(["band", "code"]).map_groups(
         bucket_pairs, batch_format="pandas")
@@ -436,7 +463,8 @@ def distributed_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
 
 def semantic_dedup(sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
                    probes: int = 3, train_size: int = 2048,
-                   seed: int = 11) -> pd.DataFrame:
+                   seed: int = 11, target_bucket: int = 1024,
+                   all_pairs_cap: int = 4096) -> pd.DataFrame:
     """SemDeDup-style semantic near-dup mining (Abbas et al. 2023, public):
     cluster the embedding space coarsely, then mine exact-cosine pairs only
     WITHIN clusters — the O(N^2/k) alternative to all-pairs scoring and the
@@ -451,12 +479,25 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
     partitioning assumption); in-bucket scoring is a vectorized matmul.
     Duplicate pairs found in two shared probes are collapsed by a
     (id1, id2) groupby, never on the driver. Recall vs the exact
-    `embedding_near_dup` path is pinned in tests."""
+    `embedding_near_dup` path is pinned in tests.
+
+    Bucket-size control (the 100x levers): n_clusters scales with the
+    corpus so the EXPECTED bucket holds ~target_bucket rows
+    (k = probes * N / target_bucket, floored at the caller's n_clusters),
+    and in-bucket scoring is chunked to all_pairs_cap x all_pairs_cap
+    blocks so a degenerate cluster (every vector identical) costs bounded
+    worker memory instead of an O(bucket^2) allocation."""
     ds = read_embeddings(sf_dir)
+
+    n_total = ds.count()
+    k_eff = max(n_clusters, -(-probes * n_total // target_bucket))
+    # keep enough training vectors per centroid for the quantizer to mean
+    # anything (>= 8 sample rows per cluster)
+    k_eff = int(min(k_eff, max(1, train_size // 8)))
 
     train = ds.limit(train_size).to_pandas()
     tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    cent = _kmeans(tmat, n_clusters, seed=seed)
+    cent = _kmeans(tmat, k_eff, seed=seed)
     ref = ray.put(cent)
 
     class Assign:
@@ -479,15 +520,9 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
         ids = g["vec_id"].to_numpy()
         mat = np.stack([np.frombuffer(b, dtype=np.float64)
                         for b in g["vec"]])
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame({
-            "id1": np.minimum(a, b).astype(np.int64),
-            "id2": np.maximum(a, b).astype(np.int64),
-            "sim": np.round(sims[iu[keep], ju[keep]], 4),
-        })
+        out = _chunked_cosine_pairs(ids, mat, threshold, all_pairs_cap)
+        out["sim"] = np.round(out["sim"], 4)
+        return out
 
     pairs = (ds.map_batches(Assign, batch_format="pyarrow",
                             concurrency=(1, 8))

@@ -78,11 +78,10 @@ def render_parity_reports(parsed: Dataset,
     (movesetReports min=[0, -Infinity], Display.fromStatistics min=0)."""
     from ..gendex import get_dex
     from ..stages import reports as R
-    from .usage import AGG_FAMILIES, REPORT_FAMILIES
+    from .usage import report_aggs
 
     dx = get_dex("legacy")
-    aggs = {name: AGG_FAMILIES[name](parsed).to_pandas()
-            for name in REPORT_FAMILIES}
+    aggs = {name: ds.to_pandas() for name, ds in report_aggs(parsed).items()}
     fmts = sorted(aggs["battles"]["format"].unique())
     out = {}
     for fmt in fmts:

@@ -128,10 +128,50 @@ def all_stats(parsed: Dataset) -> dict[str, object]:
     return out
 
 
+def report_aggs(parsed: Dataset) -> dict[str, Dataset]:
+    """Every report-feeding family with shared shuffles: the 4
+    high-cardinality families ride ONE fused hash-bucket exchange, and
+    unique / viability / unique_total share ONE per-player max shuffle —
+    instead of each family rebuilding its own exchange."""
+    fused = agg.fused_highcard(parsed).materialize()
+    out = {name: split(fused) for name, split in agg.FUSED_SPLITS.items()}
+    per_player = agg._per_player_max(parsed).materialize()
+    out["unique"] = agg._rollup_unique(per_player)
+    out["viability"] = agg._rollup_viability(per_player)
+    out["unique_total"] = agg.unique_total_rollup(per_player)
+    for name in ("usage", "leads", "battles", "metagame", "teammates_empty"):
+        out[name] = AGG_FAMILIES[name](parsed)
+    return out
+
+
 # families feeding the report renderers (stages.reports.collect_view)
 REPORT_FAMILIES = ["usage", "movesets", "leads", "battles", "encounters",
                    "teammates", "teammates_empty", "metagame", "viability",
                    "stalliness", "unique", "unique_total"]
+
+# per-family column pruning for re-reads of the routed parquet: a family
+# re-read only loads the columns its explode actually touches
+_W_COLS = [f"p{s}_w{k}" for s in (1, 2) for k in range(4)]
+_M_COLS = [f"p{s}_m{k}" for s in (1, 2) for k in range(4)]
+_COUNTED_COLS = ["short", "singles", "lead1", "lead2"]  # _batch_counted gate
+_PLAYER_COLS = ["format", "slots", "short", "p1_gxe", "p2_gxe"] + _W_COLS
+
+FAMILY_COLUMNS = {
+    "usage": ["format", "slots", "short", "winner", "p1_valid", "p2_valid"]
+             + _W_COLS + _M_COLS,
+    "movesets": ["format", "slots"] + _M_COLS,
+    "leads": ["format"] + _COUNTED_COLS + _W_COLS,
+    "battles": ["format"] + _COUNTED_COLS,
+    "encounters": ["format", "matchups"] + _COUNTED_COLS + _W_COLS,
+    "teammates": ["format", "slots", "short"] + _W_COLS,
+    "teammates_empty": ["format", "slots", "short", "doc_id"] + _W_COLS,
+    "metagame": ["format", "slots", "short", "p1_tags", "p2_tags"] + _W_COLS,
+    "stalliness": ["format", "slots", "short",
+                   "p1_stalliness", "p2_stalliness"] + _W_COLS,
+    "unique": _PLAYER_COLS,
+    "unique_total": _PLAYER_COLS,
+    "viability": _PLAYER_COLS,
+}
 
 
 def render_reports(parsed: Dataset, out_dir: str, *, formats=None,
@@ -148,8 +188,7 @@ def render_reports(parsed: Dataset, out_dir: str, *, formats=None,
     from ..stages import reports as R
 
     dx = get_dex(dex_name)
-    aggs = {name: AGG_FAMILIES[name](parsed).to_pandas()
-            for name in REPORT_FAMILIES}
+    aggs = {name: ds.to_pandas() for name, ds in report_aggs(parsed).items()}
     pairs = (aggs["battles"][["format", "cutoff"]]
              .drop_duplicates().itertuples(index=False))
     written = {}
@@ -179,51 +218,115 @@ def render_reports(parsed: Dataset, out_dir: str, *, formats=None,
     return written
 
 
-def project_tag(parsed: Dataset, fmt: str, tag: str) -> Dataset:
-    """Tag-shard projection (stats.ts:157-199 updateTagged for one tag):
-    keep only <fmt> battles; for each side whose team lacks <tag>, drop its
-    slots / tags (no per-species, metagame or stalliness contribution) and
-    sentinel its lead as 'skip' (no lead count) — while the battle itself
-    still counts for battles/encounters with the original min weights."""
+def _project_tags_batch(t: pa.Table, fmt: str, tags: list[str],
+                        composite: bool) -> pa.Table:
+    """Vectorized tag-shard projection (stats.ts:157-199 updateTagged):
+    keep only <fmt> battles; for each side whose team lacks the tag, drop
+    its slots / tags (no per-species, metagame or stalliness contribution)
+    and sentinel its lead as 'skip' (no lead count) — while the battle
+    itself still counts for battles/encounters with the original min
+    weights. Emits one projected copy per tag; with composite=True the
+    format column becomes '<fmt>\\x1f<tag>' so ONE format-keyed aggregation
+    serves every shard."""
+    import numpy as np
 
-    def fn(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["format"], fmt)
-        t = t.filter(keep)
-        if len(t) == 0:
-            return t
-        import numpy as np
+    from ..dex import SHARD_SEP
+
+    t = t.filter(pc.equal(t["format"], fmt))
+    n = len(t)
+    if n == 0:
+        return t
+
+    # per-side tag membership: has[side][tag] -> bool[n]  (one flatten pass)
+    has: dict[str, dict[str, np.ndarray]] = {}
+    tag_par, tag_val, tag_counts = {}, {}, {}
+    for side in ("p1", "p2"):
+        col = t[f"{side}_tags"].combine_chunks()
+        par = pc.list_parent_indices(col).to_numpy().astype(np.int64)
+        vals = col.flatten()
+        vnp = vals.to_numpy(zero_copy_only=False).astype(str)
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts.astype(np.float64)).astype(np.int64)
+        tag_par[side], tag_val[side], tag_counts[side] = par, vals, counts
+        has[side] = {}
+        for tag in tags:
+            h = np.zeros(n, dtype=bool)
+            m = vnp == tag
+            if m.any():
+                h[par[m]] = True
+            has[side][tag] = h
+
+    slots_col = t["slots"].combine_chunks()
+    sl_par = pc.list_parent_indices(slots_col).to_numpy().astype(np.int64)
+    sl_flat = slots_col.flatten()
+    sl_side = sl_flat.field("side").to_numpy()
+    slots_type = t.schema.field("slots").type
+    tags_type = t.schema.field("p1_tags").type
+    lead1 = t["lead1"].to_numpy(zero_copy_only=False).astype(str)
+    lead2 = t["lead2"].to_numpy(zero_copy_only=False).astype(str)
+
+    def rebuild_list(values, par, counts, keep_battle, el_keep=None):
+        """List column with per-battle keep mask (and optional per-element
+        mask) applied — offsets from cumsum, values filtered once."""
+        if el_keep is None:
+            el_keep = keep_battle[par]
+            new_counts = counts * keep_battle
+        else:
+            new_counts = np.bincount(par[el_keep], minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_counts, out=offsets[1:])
+        vals = values.filter(pa.array(el_keep))
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), vals)
+
+    pieces = []
+    for tag in tags:
+        h1, h2 = has["p1"][tag], has["p2"][tag]
         out = {name: t[name] for name in t.column_names}
-        for j, side in enumerate(("p1", "p2")):
-            tags = t[f"{side}_tags"].to_pylist()
-            has = np.array([tag in (ts or []) for ts in tags])
-            # drop untagged side's tags
-            out[f"{side}_tags"] = pa.array(
-                [ts if h else [] for ts, h in zip(tags, has)],
-                type=pa.list_(pa.string()))
-            # sentinel untagged side's lead
-            leads = t[f"lead{j + 1}"].to_pylist()
-            out[f"lead{j + 1}"] = pa.array(
-                [ld if (h or ld == "empty") else "skip"
-                 for ld, h in zip(leads, has)])
-        # drop untagged sides' slots
-        slots = t["slots"].to_pylist()
-        p1tag = [len(ts) > 0 for ts in out["p1_tags"].to_pylist()]
-        p2tag = [len(ts) > 0 for ts in out["p2_tags"].to_pylist()]
-        out["slots"] = pa.array(
-            [[s for s in sl
-              if (s["side"] == 1 and h1) or (s["side"] == 2 and h2)]
-             for sl, h1, h2 in zip(slots, p1tag, p2tag)],
-            type=t.schema.field("slots").type)
-        return pa.table(out)
+        if composite:
+            out["format"] = pa.array([f"{fmt}{SHARD_SEP}{tag}"] * n,
+                                     pa.string())
+        out["p1_tags"] = rebuild_list(
+            tag_val["p1"], tag_par["p1"], tag_counts["p1"], h1).cast(tags_type)
+        out["p2_tags"] = rebuild_list(
+            tag_val["p2"], tag_par["p2"], tag_counts["p2"], h2).cast(tags_type)
+        out["lead1"] = pa.array(
+            np.where(h1 | (lead1 == "empty"), lead1, "skip"))
+        out["lead2"] = pa.array(
+            np.where(h2 | (lead2 == "empty"), lead2, "skip"))
+        el_keep = np.where(sl_side == 1, h1[sl_par], h2[sl_par])
+        out["slots"] = rebuild_list(
+            sl_flat, sl_par, None, None, el_keep=el_keep).cast(slots_type)
+        pieces.append(pa.table(out))
+    return pa.concat_tables(pieces)
 
-    return parsed.map_batches(fn, batch_format="pyarrow")
+
+def project_tag(parsed: Dataset, fmt: str, tag: str) -> Dataset:
+    """One tag shard, format key unchanged (single-shard path / tests)."""
+    return parsed.map_batches(
+        lambda t: _project_tags_batch(t, fmt, [tag], composite=False),
+        batch_format="pyarrow")
+
+
+def explode_tag_shards(parsed: Dataset, fmt: str, tags: list[str]) -> Dataset:
+    """All shards in ONE pass: each <fmt> battle fans out into len(tags)
+    projected rows keyed '<fmt>\\x1f<tag>', so every downstream
+    format-keyed family aggregates all shards in a single exchange."""
+    return parsed.map_batches(
+        lambda t: _project_tags_batch(t, fmt, list(tags), composite=True),
+        batch_format="pyarrow")
 
 
 def render_monotype_reports(parsed: Dataset, out_dir: str,
                             fmt: str = "gen9monotype",
                             tags=None, dex_name: str = "synth") -> dict:
     """Per-shard report fan-out (workflows/smogon/stats.ts:110-121,159-196):
-    the full report set per mono<type> shard under out_dir/monotype/<tag>/."""
+    the full report set per mono<type> shard under out_dir/monotype/<tag>/.
+
+    One pipeline execution: the vectorized shard explode runs once and each
+    aggregate family runs once over composite '<fmt>\\x1f<tag>' keys (ONE
+    exchange per family for all 19 shards), instead of 19 sequential
+    full passes."""
     import os
 
     from .. import dex as dexmod
@@ -231,13 +334,25 @@ def render_monotype_reports(parsed: Dataset, out_dir: str,
     from ..stages import reports as R
 
     dx = get_dex(dex_name)
+    tags = list(tags or dexmod.MONOTYPE_SHARDS)
+    shards = explode_tag_shards(parsed, fmt, tags).materialize()
+    if shards.count() == 0:
+        return {}
+    aggs_all = {name: ds.to_pandas()
+                for name, ds in report_aggs(shards).items()}
     written = {}
-    for tag in (tags or dexmod.MONOTYPE_SHARDS):
-        shard = project_tag(parsed, fmt, tag).materialize()
-        if shard.count() == 0:
-            continue
-        aggs = {name: AGG_FAMILIES[name](shard).to_pandas()
-                for name in REPORT_FAMILIES}
+    for tag in tags:
+        comp = f"{fmt}{dexmod.SHARD_SEP}{tag}"
+        aggs = {}
+        for name, df in aggs_all.items():
+            if df.empty or "format" not in df.columns:
+                aggs[name] = df
+                continue
+            sub = df[df["format"] == comp]
+            if len(sub):
+                sub = sub.copy()
+                sub["format"] = fmt
+            aggs[name] = sub
         for cutoff in dexmod.cutoffs_for(fmt):
             view = R.collect_view(aggs, fmt, cutoff, dx)
             movesets = R.to_moveset_statistics(view, fmt)
@@ -280,12 +395,17 @@ def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
         return {"rows": ray.data.read_parquet(tmp).count()}
 
     manifest.run("parsed", do_parse)
-    routed = ray.data.read_parquet(manifest.partition_dir("parsed"))
+    routed_dir = manifest.partition_dir("parsed")
 
     counts = {}
     for name in (families or AGG_FAMILIES):
-        def do_agg(tmp: str, fn=AGG_FAMILIES[name]) -> dict:
-            out = fn(routed)
+        # column-pruned per-family re-read: only the columns this family's
+        # explode touches leave storage
+        routed = ray.data.read_parquet(routed_dir,
+                                       columns=FAMILY_COLUMNS.get(name))
+
+        def do_agg(tmp: str, fn=AGG_FAMILIES[name], ds=routed) -> dict:
+            out = fn(ds)
             out.write_parquet(tmp)
             return {"rows": ray.data.read_parquet(tmp).count()}
 

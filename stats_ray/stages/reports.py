@@ -581,9 +581,12 @@ def stalliness_histogram(st: pd.DataFrame):
         if j >= nb:
             break
         hist[j][1] += w
-    mean = float((values * weights).sum() / weights.sum())
+    # zero total weight -> NaN mean, matching the reference JS 0/0 result —
+    # computed without tripping numpy's divide RuntimeWarning
+    wsum = float(weights.sum())
+    mean = float((values * weights).sum() / wsum) if wsum else float("nan")
     return {"histogram": hist, "binSize": bin_size, "mean": mean,
-            "total": float(weights.sum())}
+            "total": wsum}
 
 
 def metagame_report(v: FormatView) -> str:

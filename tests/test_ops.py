@@ -183,6 +183,43 @@ def test_semantic_dedup_recall_and_soundness(ray_session):
     assert len(sp & ep) / max(len(ep), 1) >= 0.85   # measured 0.95 @ probes=3
 
 
+def test_chunked_cosine_pairs_matches_full_triu():
+    """The bounded-memory pair kernel must emit exactly the pairs the naive
+    full n x n upper triangle would, at every cap (including cap < n)."""
+    from stats_ray.ops.ann import _chunked_cosine_pairs, _normalize
+    rng = np.random.RandomState(3)
+    mat = _normalize(rng.normal(size=(97, 8)))
+    ids = rng.permutation(97).astype(np.int64) * 7   # non-contiguous ids
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(97, k=1)
+    keep = sims[iu, ju] >= 0.5
+    want = {(min(a, b), max(a, b)) for a, b in
+            zip(ids[iu[keep]], ids[ju[keep]])}
+    assert want, "fixture must produce pairs"
+    for cap in (7, 32, 97, 4096):
+        got = _chunked_cosine_pairs(ids, mat, 0.5, cap)
+        assert set(zip(got["id1"], got["id2"])) == want, cap
+
+
+def test_semantic_dedup_degenerate_cluster_bounded(ray_session, tmp_path):
+    """Every vector identical -> one cluster holds the whole corpus. The
+    chunked kernel must still enumerate all C(n,2) pairs correctly with a
+    cap far below the bucket size (bounded-memory path actually taken)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.ann import semantic_dedup
+    n = 300
+    emb = [[1.0, 0.0, 0.0, 0.0]] * n
+    pq.write_table(pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                             "embedding": pa.array(emb)}),
+                   tmp_path / "embeddings.parquet")
+    out = semantic_dedup(str(tmp_path), threshold=0.9, n_clusters=4,
+                         target_bucket=64, all_pairs_cap=64, train_size=128)
+    assert len(out) == n * (n - 1) // 2
+    assert (out["sim"] == 1.0).all()
+
+
 def test_heavy_hitters_exact_on_skew(ray_session):
     """Misra-Gries candidates + exact recount == plain GROUP BY/HAVING,
     on a zipf-skewed key column where per-batch summaries actually truncate
