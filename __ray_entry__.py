@@ -205,6 +205,13 @@ def _q_encounters(sf_dir: str):
     return _round_cols(df, ["weight"])
 
 
+def _q_checks_counters(sf_dir: str):
+    """A11 checks & counters from the encounter matrix (util.ts:332-357)."""
+    from stats_ray.stages import aggregate as agg
+    df = agg.checks_counters_stats(_parsed(sf_dir)).to_pandas()
+    return _round_cols(df, ["n", "p", "d", "score"])
+
+
 def _q_teammates(sf_dir: str):
     from stats_ray.stages import aggregate as agg
     df = agg.teammate_stats(_parsed(sf_dir)).to_pandas()
@@ -552,6 +559,42 @@ def _sql_encounters():
         f" ROUND(SUM(w), 4) AS weight FROM x GROUP BY 1, 2, 3, 4, 5")
 
 
+def _sql_checks_counters():
+    return (
+        f"WITH b AS {_b_cte()}, bc AS {_bc_cte()}, "
+        f"counted AS (SELECT * FROM bc WHERE NOT short AND"
+        f" (NOT singles OR (lead1 <> 'empty' AND lead2 <> 'empty'))), "
+        f"x AS ("
+        f"SELECT c.format, c.cutoff, m.s1 AS species, m.s2 AS opponent,"
+        f" CAST(m.outcome AS INTEGER) AS outcome, LEAST(c.w1, c.w2) AS w"
+        f" FROM {_gt('gt_matchups')} m JOIN counted c USING (doc_id)"
+        f" UNION ALL "
+        f"SELECT c.format, c.cutoff, m.s2, m.s1,"
+        f" CAST({_INV_CASE} AS INTEGER), LEAST(c.w1, c.w2)"
+        f" FROM {_gt('gt_matchups')} m JOIN counted c USING (doc_id)), "
+        f"cc AS (SELECT format, cutoff, species, opponent,"
+        f" SUM(CASE WHEN outcome <= 5 THEN w ELSE 0 END) AS n,"
+        f" SUM(CASE WHEN outcome = 0 THEN w ELSE 0 END) AS koed,"
+        f" SUM(CASE WHEN outcome = 3 THEN w ELSE 0 END) AS switched"
+        f" FROM x GROUP BY 1, 2, 3, 4), "
+        # two-stage rounding replicating the engine: Math.round at 1e10
+        # (util.ts:277, with d computed from the ROUNDED p), then half-up
+        # at 1e4 — plain ROUND banker's-rounds exact .5 ties (p = 13/32)
+        # the other way
+        f"pp AS (SELECT format, cutoff, species, opponent, n,"
+        f" FLOOR(((koed + switched) / n) * 1e10 + 0.5) / 1e10 AS p10"
+        f" FROM cc WHERE n > 20), "
+        f"dd AS (SELECT *,"
+        f" FLOOR(sqrt(p10 * (1 - p10) / n) * 1e10 + 0.5) / 1e10 AS d10"
+        f" FROM pp) "
+        f"SELECT format, cutoff, species, opponent,"
+        f" FLOOR(n * 1e4 + 0.5) / 1e4 AS n,"
+        f" FLOOR(p10 * 1e4 + 0.5) / 1e4 AS p,"
+        f" FLOOR(d10 * 1e4 + 0.5) / 1e4 AS d,"
+        f" FLOOR(FLOOR((p10 - 4 * d10) * 1e10 + 0.5) / 1e10 * 1e4 + 0.5)"
+        f" / 1e4 AS score FROM dd")
+
+
 def _sql_teammates():
     return (
         f"WITH b AS {_b_cte()}, bc AS {_bc_cte()} "
@@ -725,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "battle_leads": _q_leads,
         "battle_battles": _q_battles,
         "battle_encounters": _q_encounters,
+        "battle_checks_counters": _q_checks_counters,
         "battle_teammates": _q_teammates,
         "battle_metagame": _q_metagame,
         "battle_unique_players": _q_unique,
@@ -796,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "battle_leads": _sql_leads(),
         "battle_battles": _sql_battles(),
         "battle_encounters": _sql_encounters(),
+        "battle_checks_counters": _sql_checks_counters(),
         "battle_teammates": _sql_teammates(),
         "battle_metagame": _sql_metagame(),
         "battle_unique_players": _sql_unique(),

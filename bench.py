@@ -26,25 +26,40 @@ import sys
 import time
 
 
-def host_probe(ncpus: int) -> dict:
+def host_probe(ncpus: int, reps: int | None = None) -> dict:
     """Calibrate the shared host so BENCH numbers are comparable across
     rounds: a fixed scalar+vector workload timed (a) alone and (b) at
     ncpus-way saturation. On this sandbox per-core throughput under full
     occupancy swings 2-4x hour-to-hour with neighbor load (measured:
     1,154 -> 320 battles/s/core for IDENTICAL parse code, idle vs 28-way),
     so the flagship wall time only makes sense next to these two numbers.
-    Runs before ray.init, untimed relative to the headline metric."""
+    Runs before ray.init, untimed relative to the headline metric.
+
+    The parallel leg runs one UNTIMED warm-up round first (worker spawn /
+    import cost would otherwise deflate the wider leg's efficiency and
+    inflate the host-corrected scaling number), and both legs take the min
+    over `reps` repeats ($BENCH_PROBE_REPS, default 3) to shed scheduler
+    jitter. Residual bias is noted in BASELINE.md."""
     from concurrent.futures import ProcessPoolExecutor
 
-    t = time.time()
-    _probe_work(0)
-    single = time.time() - t
-    t = time.time()
+    if reps is None:
+        reps = int(os.environ.get("BENCH_PROBE_REPS", "3"))
+    singles = []
+    for _ in range(reps):
+        t = time.time()
+        _probe_work(0)
+        singles.append(time.time() - t)
+    single = min(singles)
     with ProcessPoolExecutor(ncpus) as ex:
-        list(ex.map(_probe_work, range(ncpus)))
-    par = time.time() - t
+        list(ex.map(_probe_work, range(ncpus)))  # warm-up: untimed
+        pars = []
+        for _ in range(reps):
+            t = time.time()
+            list(ex.map(_probe_work, range(ncpus)))
+            pars.append(time.time() - t)
+    par = min(pars)
     return {"single_sec": round(single, 3), f"x{ncpus}_sec": round(par, 3),
-            "saturation_efficiency": round(single / par, 3)}
+            "saturation_efficiency": round(single / par, 3), "reps": reps}
 
 
 def _probe_work(_i: int) -> int:

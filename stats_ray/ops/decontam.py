@@ -24,12 +24,16 @@ families don't cover yet:
   per-doc Counters inside a batch (same shape as `ops/text.lang_id`).
 
 Tokenization contract (shared with the SQL oracles): lowercase, split on
-whitespace runs, drop empties — Python `text.lower().split()` ==
-DuckDB `list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')`.
+ASCII whitespace runs, drop empties — `_words()` splits on the RE2 class
+`[ \\t\\n\\r\\f\\v]+` so it matches DuckDB
+`list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')`
+byte-for-byte even on non-ASCII-whitespace text (Python str.split() would
+also split on \\xa0/\\u2028 etc., which RE2 \\s does not).
 """
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import numpy as np
@@ -39,6 +43,14 @@ from ray.data import Dataset
 from .text import read_documents
 
 BENCH_MOD = 37  # doc_id % 37 == 0 -> the stand-in "benchmark" slice
+
+
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _words(text: str) -> list[str]:
+    """The engine/oracle tokenization contract (see module docstring)."""
+    return [w for w in _ASCII_WS.split(text.lower()) if w]
 
 
 def _grams(words: list[str], n: int) -> list[str]:
@@ -55,7 +67,7 @@ def benchmark_ngrams(sf_dir: str, n: int = 4) -> frozenset[str]:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         seen: set[str] = set()
         for t in df["text"]:
-            seen.update(_grams(t.lower().split(), n))
+            seen.update(_grams(_words(t), n))
         return pd.DataFrame({"gram": sorted(seen)})
 
     out: set[str] = set()
@@ -81,7 +93,7 @@ def decontaminate(sf_dir: str, n: int = 4) -> Dataset:
             self.bench = ray.get(grams_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            hits = [len(set(_grams(t.lower().split(), n)) & self.bench)
+            hits = [len(set(_grams(_words(t), n)) & self.bench)
                     for t in df["text"]]
             hits = np.asarray(hits, dtype=np.int64)
             return pd.DataFrame({
@@ -102,32 +114,36 @@ def _r4(x: float) -> float:
 
 def repetition_stats(sf_dir: str) -> Dataset:
     """Per-doc repetition/quality signals (rounded to 4 dp, half-away like
-    the SQL ROUND, to keep the FP-order-independent value hash stable)."""
+    the SQL ROUND, to keep the FP-order-independent value hash stable).
+
+    Docs that tokenize to zero words are SKIPPED — the SQL oracle's inner
+    joins on the word-level CTEs drop them too, so emitting a zero row
+    would silently diverge on whitespace-only text."""
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": df["doc_id"].astype("int64"),
-                "n_tokens": [], "top_word": [], "top_word_frac": [],
-                "dup_3gram_frac": [], "word_entropy": []}
-        for t in df["text"]:
-            words = t.lower().split()
+        rows = {"doc_id": [], "n_tokens": [], "top_word": [],
+                "top_word_frac": [], "dup_3gram_frac": [], "word_entropy": []}
+        for did, t in zip(df["doc_id"], df["text"]):
+            words = _words(t)
             nt = len(words)
+            if not nt:
+                continue
             wc = Counter(words)
-            if nt:
-                top_n = max(wc.values())
-                # deterministic tie-break: lexicographically smallest argmax
-                top_w = min(w for w, c in wc.items() if c == top_n)
-                p = np.array(list(wc.values()), dtype=np.float64) / nt
-                ent = float(-(p * np.log(p)).sum())
-            else:
-                top_n, top_w, ent = 0, "", 0.0
+            top_n = max(wc.values())
+            # deterministic tie-break: lexicographically smallest argmax
+            top_w = min(w for w, c in wc.items() if c == top_n)
+            p = np.array(list(wc.values()), dtype=np.float64) / nt
+            ent = float(-(p * np.log(p)).sum())
             g = _grams(words, 3)
             dup = 1.0 - len(set(g)) / len(g) if g else 0.0
+            rows["doc_id"].append(did)
             rows["n_tokens"].append(nt)
             rows["top_word"].append(top_w)
-            rows["top_word_frac"].append(_r4(top_n / nt) if nt else 0.0)
+            rows["top_word_frac"].append(_r4(top_n / nt))
             rows["dup_3gram_frac"].append(_r4(dup))
             rows["word_entropy"].append(_r4(ent))
         out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
         out["n_tokens"] = out["n_tokens"].astype("int64")
         return out
 
@@ -163,7 +179,7 @@ def clean_corpus(sf_dir: str, n: int = 4, min_tokens: int = 20,
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             status, hkey = [], []
             for doc_id, text in zip(df["doc_id"], df["text"]):
-                toks = text.lower().split()
+                toks = _words(text)
                 if doc_id % BENCH_MOD == 0:
                     st = "bench"
                 elif len(toks) < min_tokens:

@@ -395,11 +395,21 @@ def incremental_dedup(sf_dir: str) -> Dataset:
 # ---------------------------------------------------------------------------
 # Bloom-filter prefilter (approximate membership, zero false negatives)
 
-_BLOOM_BITS = 1 << 20
+_BLOOM_BITS = 1 << 20        # default bitmap size (128 KiB)
 _BLOOM_HASHES = 4
+_BLOOM_BITS_PER_KEY = 10     # ~1% FP at k=4 hashes (textbook sizing)
 
 
-def _bloom_positions(keys) -> np.ndarray:
+def bloom_bits_for(expected_keys: int) -> int:
+    """Bitmap size (power of two, >= the 2^20 default) for an expected key
+    count at ~_BLOOM_BITS_PER_KEY bits/key — at 100 TB the seen-corpus key
+    count is known from its table metadata, so size the filter from it
+    instead of hardcoding 2^20 bits (~0.8M keys @ 1% FP)."""
+    need = max(_BLOOM_BITS, expected_keys * _BLOOM_BITS_PER_KEY)
+    return 1 << int(need - 1).bit_length()
+
+
+def _bloom_positions(keys, n_bits: int = _BLOOM_BITS) -> np.ndarray:
     """k positions per key from a blake2b double-hash (public technique)."""
     out = np.empty((len(keys), _BLOOM_HASHES), dtype=np.int64)
     for i, s in enumerate(keys):
@@ -407,30 +417,33 @@ def _bloom_positions(keys) -> np.ndarray:
         h1 = int.from_bytes(d[:8], "little")
         h2 = int.from_bytes(d[8:], "little") | 1
         for j in range(_BLOOM_HASHES):
-            out[i, j] = (h1 + j * h2) % _BLOOM_BITS
+            out[i, j] = (h1 + j * h2) % n_bits
     return out
 
 
-def bloom_build(ds: Dataset, key_col: str) -> np.ndarray:
+def bloom_build(ds: Dataset, key_col: str,
+                n_bits: int = _BLOOM_BITS) -> np.ndarray:
     """Mergeable Bloom filter over a key column: each batch sets its bits
     into a fixed-size partial bitmap; partials OR together on the driver
-    (128 KiB each — size independent of row count, like the HLL sketch)."""
+    (n_bits/8 bytes each — size independent of row count, like the HLL
+    sketch). Size n_bits with bloom_bits_for(expected_keys)."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
-        pos = _bloom_positions(list(df[key_col]))
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        pos = _bloom_positions(list(df[key_col]), n_bits)
         np.bitwise_or.at(bits, pos.ravel() // 8,
                          np.uint8(1) << (pos.ravel() % 8).astype(np.uint8))
         return pd.DataFrame({"bitmap": [bits.tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
     for b in parts["bitmap"]:
         bitmap |= np.frombuffer(b, dtype=np.uint8)
     return bitmap
 
 
 def bloom_maybe_contains(bitmap: np.ndarray, keys) -> np.ndarray:
-    pos = _bloom_positions(list(keys))
+    n_bits = len(bitmap) * 8
+    pos = _bloom_positions(list(keys), n_bits)
     hit = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
     return hit.all(axis=1).astype(bool)
 
@@ -459,7 +472,10 @@ def bloom_prefilter_new(sf_dir: str) -> pd.DataFrame:
                               batch_format="pandas")
     new = hashed.map_batches(lambda df: df[df["doc_id"] % 3 == 0],
                              batch_format="pandas")
-    bitmap_ref = ray.put(bloom_build(seen, "md5"))
+    # size the filter from the table's (metadata-only) row count — an upper
+    # bound on the seen-side key count
+    bitmap_ref = ray.put(bloom_build(seen, "md5",
+                                     bloom_bits_for(docs.count())))
 
     class Filter:
         def __init__(self):

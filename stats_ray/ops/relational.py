@@ -287,13 +287,21 @@ def events_json_props(sf_dir: str) -> Dataset:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ext = df["props"].str.extract(fast, expand=False)
-        k = pd.to_numeric(ext, errors="coerce")
-        miss = k.isna() & df["props"].notna()
+        m = ext.notna().to_numpy()
+        # exact int64 parse of the regex capture (a float round-trip would
+        # silently lose precision for |k| > 2^53)
+        k = np.zeros(len(df), dtype=np.int64)
+        if m.any():
+            k[m] = ext[m].to_numpy().astype(np.int64)
+        miss = (~m) & df["props"].notna().to_numpy()
         if miss.any():  # irregular lines: real JSON parse, rare by contract
-            k.loc[miss] = [json.loads(s).get("k")
-                           for s in df.loc[miss, "props"]]
+            # missing/null 'k' contributes 0 — SQL SUM skips NULLs while
+            # COUNT(*) still counts the row
+            k[np.flatnonzero(miss)] = [
+                int(v) if (v := json.loads(s).get("k")) is not None else 0
+                for s in df.loc[miss, "props"]]
         out = pd.DataFrame({"event_type": df["event_type"],
-                            "n": 1, "sum_k": k.astype("int64")})
+                            "n": 1, "sum_k": k})
         return out.groupby("event_type", as_index=False).sum()
 
     return (ds.map_batches(partial, batch_format="pandas")

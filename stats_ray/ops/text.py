@@ -312,7 +312,11 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
     ds = read_documents(sf_dir, ["doc_id", "text"])
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["text"].str.split().str.len().fillna(0).astype("int64")
+        # ASCII-whitespace token count (runs of non-[ \t\n\r\f\v]) — matches
+        # the RE2 \s+ the SQL oracle splits on; Python str.split() would
+        # also split on unicode whitespace (\xa0,  , ...)
+        n = (df["text"].str.count(r"[^ \t\n\r\f\v]+")
+             .fillna(0).astype("int64"))
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
             "n_tokens": n,

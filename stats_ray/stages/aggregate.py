@@ -379,6 +379,47 @@ def encounter_stats(parsed: Dataset) -> Dataset:
         batch_format="pyarrow")
 
 
+def checks_counters_stats(parsed: Dataset, min_n: float = 20.0) -> Dataset:
+    """A11 checks & counters (util.ts:332-357) from the encounter matrix:
+    n = encounter mass over outcomes 0-5, p = (koed + switched) / n,
+    d = sqrt(p(1-p)/n), score = p - 4d (each Math.round'ed at 1e10 like the
+    reference); pairs with n <= min_n are dropped. One extra small groupby
+    over the already-aggregated encounter rows."""
+    enc = encounter_stats(parsed)
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        oc = df["outcome"].to_numpy().astype(np.int64)
+        w = df["weight"].to_numpy()
+        df["n"] = np.where(oc <= 5, w, 0.0)
+        df["koed"] = np.where(oc == 0, w, 0.0)      # reports._KOED
+        df["switched"] = np.where(oc == 3, w, 0.0)  # reports._SWITCHED
+        return _pt(df[["format", "cutoff", "species", "opponent",
+                       "n", "koed", "switched"]])
+
+    part = enc.map_batches(pre, batch_format="pyarrow")
+    agg = part.groupby(["format", "cutoff", "species", "opponent"]).aggregate(
+        Sum("n", alias_name="n"), Sum("koed", alias_name="koed"),
+        Sum("switched", alias_name="switched"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["n"] > min_n].copy()
+        n = df["n"].to_numpy(dtype=np.float64)
+
+        def jsr(x):  # vectorized js_round at 1e10 (util.ts:277)
+            return np.floor(x * 1e10 + 0.5) / 1e10
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = jsr((df["koed"].to_numpy() + df["switched"].to_numpy()) / n)
+            d = jsr(np.sqrt(p * (1.0 - p) / n))
+        df["p"], df["d"], df["score"] = p, d, jsr(p - 4.0 * d)
+        return _pt(df[["format", "cutoff", "species", "opponent",
+                       "n", "p", "d", "score"]])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # teammates per (format, cutoff, pair)   [A5]
 

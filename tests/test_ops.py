@@ -278,3 +278,33 @@ def test_clean_corpus_marks_planted_duplicate(ray_session, tmp_path):
     out = clean_corpus(str(d)).to_pandas().set_index("doc_id")["status"]
     assert out.loc[kept_id] == "kept"
     assert out.loc[990002] == "duplicate"
+
+
+def test_repetition_stats_skips_zero_token_docs(ray_session, tmp_path, con):
+    """A doc that tokenizes to zero words (empty / whitespace-only /
+    unicode-whitespace-only) must be absent from BOTH the engine output and
+    the SQL oracle — the oracle's word-level inner joins drop it, so the
+    engine emitting a zero row would be a silent divergence (ADVICE r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.decontam import repetition_stats
+    texts = ["the cat sat on the mat", "", "   \t\n  ", "\xa0 ",
+             "one one one"]
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = repetition_stats(str(tmp_path)).to_pandas()
+    # NOTE: '\xa0 ' has no ASCII whitespace, so under the RE2-matching
+    # contract it is ONE token (not zero) — exactly what the SQL side sees.
+    assert sorted(out["doc_id"]) == [0, 3, 4]
+    oracle = con.execute(f"""
+        WITH words AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+          FROM read_parquet('{tmp_path}/documents.parquet'))
+        SELECT doc_id, COUNT(*) AS n_tokens FROM words GROUP BY 1 ORDER BY 1
+    """).df()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(oracle["doc_id"])
+    assert list(got["n_tokens"]) == list(oracle["n_tokens"])
