@@ -319,25 +319,37 @@ def events_retention(sf_dir: str) -> Dataset:
     bursty, so this collapses most rows before any exchange); stage 2 is ONE
     user-keyed exchange whose groups emit <= active-days tiny rows
     (cohort_day, day_offset); stage 3 aggregates over the small
-    cohort x offset grid. The raw log is never globally sorted."""
+    cohort x offset grid. The raw log is never globally sorted.
+
+    The user-keyed stage groups by a COARSE hash bucket (user_id % n_buckets)
+    so each task processes thousands of users with vectorized pandas
+    transforms — per-USER map_groups would build one tiny DataFrame per
+    user, which dominates wall time at millions of users."""
     ds = _t(sf_dir, "events", ["user_id", "ts"])
+    n_buckets = 64
 
     def distinct_days(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"user_id": df["user_id"],
                             "day": df["ts"].dt.normalize()})
-        return out.drop_duplicates()
+        out = out.drop_duplicates()
+        out["b_"] = (out["user_id"] % n_buckets).astype("int64")
+        return out
 
     def offsets(g: pd.DataFrame) -> pd.DataFrame:
-        days = g["day"].drop_duplicates().sort_values()
-        cohort = days.iloc[0]
-        return pd.DataFrame({
-            "cohort_day": cohort.strftime("%Y-%m-%d"),
-            "day_offset": ((days - cohort).dt.days).astype("int64"),
+        # whole bucket at once: global (user, day) dedup is complete here
+        # because a user's rows all hash to this bucket
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        part = pd.DataFrame({
+            "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+            "day_offset": (g["day"] - cohort).dt.days.astype("int64"),
             "n_users": 1,
         })
+        return part.groupby(["cohort_day", "day_offset"],
+                            as_index=False).sum()
 
     return (ds.map_batches(distinct_days, batch_format="pandas")
-            .groupby("user_id").map_groups(offsets, batch_format="pandas")
+            .groupby("b_").map_groups(offsets, batch_format="pandas")
             .groupby(["cohort_day", "day_offset"])
             .aggregate(Sum("n_users", alias_name="n_users")))
 
@@ -354,32 +366,43 @@ def events_funnel(sf_dir: str, steps=None, window_hours: int = None
     windowed — the semantics ad-hoc SQL gets wrong and log pipelines need.
 
     Scale shape: the read filters to funnel event types only (column + row
-    pruning), then ONE user-keyed exchange; each group does a few
-    vectorized scans (one per step). The per-user result is a single
-    max-step row; the final rollup is over n_steps rows."""
+    pruning), then ONE exchange keyed by a COARSE hash bucket
+    (user_id % n_buckets): each task advances thousands of users through
+    the funnel with vectorized scans (one reindex+mask per step), instead
+    of building a tiny per-user DataFrame per group. The per-bucket result
+    is a reached-level histogram; the final rollup is over n_steps rows."""
     steps = steps or FUNNEL_STEPS
     window = pd.Timedelta(hours=window_hours or FUNNEL_WINDOW_HOURS)
     step_set = set(steps)
+    n_buckets = 64
 
     ds = (_t(sf_dir, "events", ["user_id", "ts", "event_type"])
-          .filter(expr=f"event_type in {sorted(step_set)!r}"))
+          .filter(expr=f"event_type in {sorted(step_set)!r}")
+          .map_batches(lambda df: df.assign(
+              b_=(df["user_id"] % n_buckets).astype("int64")),
+              batch_format="pandas"))
 
-    def max_step(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.loc[g["event_type"] == steps[0], "ts"].min()
-        reached = 0
-        if pd.notna(t):
-            reached = 1
-            for s in steps[1:]:
-                nxt = g.loc[(g["event_type"] == s) & (g["ts"] > t)
-                            & (g["ts"] <= t + window), "ts"].min()
-                if pd.isna(nxt):
-                    break
-                t = nxt
-                reached += 1
-        return pd.DataFrame({"reached": [reached]})
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        # earliest step-1 time per user, then each later step's earliest
+        # event inside (t_prev, t_prev + window] — all users at once
+        cur = g.loc[g["event_type"] == steps[0]].groupby("user_id")["ts"].min()
+        reached = pd.Series(1, index=cur.index, dtype="int64")
+        for s in steps[1:]:
+            if cur.empty:
+                break
+            sub = g[g["event_type"] == s]
+            t0 = cur.reindex(sub["user_id"]).to_numpy()
+            ts = sub["ts"].to_numpy()
+            m = pd.notna(t0) & (ts > t0) & (ts <= t0 + window)
+            cur = sub[m].groupby("user_id")["ts"].min()
+            reached.loc[cur.index] += 1
+        hist = reached.value_counts()
+        return pd.DataFrame({"reached": hist.index.astype("int64"),
+                             "n": hist.to_numpy().astype("int64")})
 
-    hist = (ds.groupby("user_id").map_groups(max_step, batch_format="pandas")
-            .groupby("reached").aggregate(Count(alias_name="n")).to_pandas())
+    hist = (ds.groupby("b_").map_groups(bucket_hist, batch_format="pandas")
+            .groupby("reached").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
     # tiny driver rollup: users reaching step i = sum of reached >= i
     by = dict(zip(hist["reached"].astype(int), hist["n"].astype(int)))
     rows = []

@@ -424,44 +424,67 @@ def checks_counters_stats(parsed: Dataset, min_n: float = 20.0) -> Dataset:
 # teammates per (format, cutoff, pair)   [A5]
 
 def _explode_teammates(t: pa.Table) -> pa.Table:
+    """Pair explosion in pure offset arithmetic — no per-battle Python.
+
+    Kept slots (non-short battle, non-'empty' species) are stably grouped
+    by (battle, side); each group's unordered pairs come from a precomputed
+    upper-triangle template indexed by group size, expanded with
+    repeat/cumsum index math. Emission order is identical to the reference
+    loop (battle asc, side 1 then 2, row-major triangle), so in-batch
+    partial sums reduce in the same FP order."""
     slots = t["slots"].combine_chunks()
-    offsets = slots.offsets.to_numpy().astype(np.int64)
+    parent0 = pc.list_parent_indices(slots).to_numpy().astype(np.int64)
     flat = slots.flatten()
     side = flat.field("side").to_numpy()
     species = flat.field("species").to_numpy(zero_copy_only=False)
 
     short = _col(t, "short")
     fmt = _col(t, "format")
-    # one vectorized pass; avoids 2n tiny object-array compares in the loop
-    nonempty = species != "empty"
+    # real-real pairs only; legacy empty-slot teammate entries are a
+    # separate last-writer family (teammate_empty_lastwriter)
+    keep = (~short[parent0]) & (species != "empty") if len(parent0) else \
+        np.zeros(0, dtype=bool)
+    kept = np.flatnonzero(keep)
 
-    pa_idx, pb_idx, pparent = [], [], []
-    for b in range(len(t)):
-        if short[b]:
-            continue
-        lo, hi = offsets[b], offsets[b + 1]
-        sd = side[lo:hi]
-        ne = nonempty[lo:hi]
-        for s in (1, 2):
-            # real-real pairs only; legacy empty-slot teammate entries are a
-            # separate last-writer family (teammate_empty_lastwriter)
-            idx = np.nonzero((sd == s) & ne)[0] + lo
-            n = len(idx)
-            if n < 2:
-                continue
-            iu, ju = np.triu_indices(n, k=1)
-            pa_idx.append(idx[ju])
-            pb_idx.append(idx[iu])
-            pparent.append(np.full(len(iu), b, dtype=np.int64))
-    if not pa_idx:
-        empty = {"format": pd.Series(dtype=object),
-                 "s1": pd.Series(dtype=object), "s2": pd.Series(dtype=object)}
+    def _empty():
+        cols = {"format": pd.Series(dtype=object),
+                "s1": pd.Series(dtype=object), "s2": pd.Series(dtype=object)}
         for k in _CUTS:
-            empty[f"w{k}"] = pd.Series(dtype=np.float64)
-        return _pt(pd.DataFrame(empty))
-    ia = np.concatenate(pa_idx)
-    ib = np.concatenate(pb_idx)
-    par = np.concatenate(pparent)
+            cols[f"w{k}"] = pd.Series(dtype=np.float64)
+        return _pt(pd.DataFrame(cols))
+
+    if not len(kept):
+        return _empty()
+
+    g = parent0[kept] * 2 + (side[kept] == 2)
+    order = np.argsort(g, kind="stable")     # slot order preserved in group
+    kept, g = kept[order], g[order]
+    bounds = np.empty(len(g), dtype=bool)
+    bounds[0] = True
+    bounds[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(bounds)
+    counts = np.diff(np.append(starts, len(g)))
+
+    sel = counts >= 2
+    if not sel.any():
+        return _empty()
+    gs, cs = starts[sel], counts[sel]
+    cmax = int(cs.max())
+    npairs = (cmax * (cmax - 1)) // 2
+    tri_i = np.zeros((cmax + 1, npairs), dtype=np.int64)
+    tri_j = np.zeros((cmax + 1, npairs), dtype=np.int64)
+    for c in range(2, cmax + 1):
+        iu, ju = np.triu_indices(c, k=1)
+        tri_i[c, :len(iu)], tri_j[c, :len(ju)] = iu, ju
+
+    m = cs * (cs - 1) // 2
+    grp = np.repeat(np.arange(len(cs)), m)
+    rank = np.arange(int(m.sum())) - np.repeat(np.cumsum(m) - m, m)
+    c_g = cs[grp]
+    ia = kept[gs[grp] + tri_j[c_g, rank]]   # later slot of the pair
+    ib = kept[gs[grp] + tri_i[c_g, rank]]
+    par = g[gs[grp]] // 2
+
     sa, sb = species[ia], species[ib]
     sd = side[ia]
     cols = {"format": fmt[par], "s1": np.minimum(sa, sb),
