@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from stats_ray.ops import queries as generic
     q.update(generic.QUERIES)
     q["reference_golden_parity"] = _q_reference_parity
+    q["anon_golden_parity"] = _q_anon_parity
     return q
 
 
@@ -811,6 +812,64 @@ def _q_reference_parity(sf_dir: str):
         "kind": [r["kind"] for r in res],
         "matched": [bool(r["match"]) for r in res],
     }).sort_values(["format", "cutoff", "kind"]).reset_index(drop=True)
+
+
+def _q_anon_parity(sf_dir: str):
+    """Parity vs the reference's own anonymizer goldens
+    (anon/src/testdata/{anon,salt,team}.json, anon/src/index.test.ts):
+    anonymize raw.json with and without a salt, anonymize the team
+    fixture, and run the planted-nickname leak check. One row per
+    artifact; `matched` should be True everywhere.
+
+    rows-only (no SQL oracle can express protocol-log anonymization);
+    returns an empty table when the reference checkout is absent
+    (sf_dir unused — the inputs are the reference's own fixtures)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from stats_ray.stages.anon import Verifier, anonymize_doc, anonymize_team
+
+    testdata = "/root/reference/anon/src/testdata"
+    if not os.path.isdir(testdata):
+        return pd.DataFrame({"artifact": [], "matched": []})
+
+    def load(name):
+        with open(os.path.join(testdata, name)) as f:
+            return f.read()
+
+    raw_text = load("raw.json")
+    rows = []
+
+    v = Verifier()
+    got = anonymize_doc(json.loads(raw_text), verifier=v, dex_name="legacy")
+    rows.append(("anon.json", got == json.loads(load("anon.json"))
+                 and v.ok()))
+
+    v = Verifier()
+    got = anonymize_doc(json.loads(raw_text), salt="salt", verifier=v,
+                        dex_name="legacy")
+    rows.append(("salt.json", got == json.loads(load("salt.json"))
+                 and v.ok()))
+
+    team = json.loads(load("team.json"))
+    plain = [p["name"] for p in anonymize_team(team, dex_name="legacy")]
+    salted = [p["name"] for p in anonymize_team(
+        json.loads(load("team.json")), salt="salt", dex_name="legacy")]
+    rows.append(("team.json", plain == ["Rayquaza", "Greninja", "Meloetta",
+                                        "Zoroark", "Ditto", "Shedinja"]
+                 and salted == ["64bd07b346", "d677adb2c9", "962d76aee3",
+                                "a8d7f93b51", "ce04869101", "46ea409020"]))
+
+    v = Verifier()
+    mod = json.loads(raw_text.replace("aaaaaaaaaa", "Air Lock"))
+    got = anonymize_doc(mod, verifier=v, dex_name="legacy")
+    rows.append(("planted-leak", got == json.loads(load("anon.json"))
+                 and not v.ok() and len(v.leaks) == 1))
+
+    return pd.DataFrame({"artifact": [r[0] for r in rows],
+                         "matched": [bool(r[1]) for r in rows]})
 
 
 def oracle_sql_for(corpus: str) -> dict[str, str]:
