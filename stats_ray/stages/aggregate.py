@@ -520,39 +520,55 @@ def teammate_empty_lastwriter(parsed: Dataset) -> Dataset:
 
     def _explode(t: pa.Table) -> pa.Table:
         slots = t["slots"].combine_chunks()
-        offsets = slots.offsets.to_numpy().astype(np.int64)
+        parent = pc.list_parent_indices(slots).to_numpy().astype(np.int64)
         flat = slots.flatten()
         side_a = flat.field("side").to_numpy()
         species_a = flat.field("species").to_numpy(zero_copy_only=False)
         short = _col(t, "short")
         fmt = _col(t, "format")
         doc = _col(t, "doc_id")
-        rows = []
-        for b in range(len(t)):
-            if short[b]:
-                continue
-            lo, hi = offsets[b], offsets[b + 1]
-            for s in (1, 2):
-                sel = side_a[lo:hi] == s
-                sp = species_a[lo:hi][sel]
-                n_empty = int((sp == "empty").sum())
-                if n_empty == 0:
-                    continue
-                w = {k: t[f"p{s}_w{k}"][b].as_py() for k in _CUTS}
-                order = f"{doc[b]}|{s}"
-                from collections import Counter
-                counts = Counter(x for x in sp if x != "empty")
-                for b_sp, c in counts.items():
-                    rows.append((fmt[b], b_sp, order,
-                                 *[c * w[k] for k in _CUTS]))
-                if n_empty >= 2:
-                    rows.append((fmt[b], "empty", order,
-                                 *[(n_empty - 1) * w[k] for k in _CUTS]))
-        cols = ["format", "species", "ord"] + _W
-        df = pd.DataFrame(rows, columns=cols) if rows else \
-            pd.DataFrame({c: pd.Series(dtype=object if c in cols[:3] else np.float64)
-                          for c in cols})
-        return _pt(df)
+
+        def _empty_frame():
+            cols = {"format": pd.Series(dtype=object),
+                    "species": pd.Series(dtype=object),
+                    "ord": pd.Series(dtype=object)}
+            for k in _CUTS:
+                cols[f"w{k}"] = pd.Series(dtype=np.float64)
+            return _pt(pd.DataFrame(cols))
+
+        keep = ~short[parent] if len(parent) else np.zeros(0, dtype=bool)
+        if not keep.any():
+            return _empty_frame()
+        df = pd.DataFrame({"b": parent[keep], "s": side_a[keep],
+                           "sp": species_a[keep]})
+        df["is_empty"] = df["sp"] == "empty"
+        # only (battle, side) groups that contain at least one empty slot
+        n_empty = df.groupby(["b", "s"], sort=False)["is_empty"] \
+                    .transform("sum")
+        df = df[n_empty > 0]
+        if df.empty:
+            return _empty_frame()
+        counts = (df[~df["is_empty"]]
+                  .groupby(["b", "s", "sp"], sort=False)
+                  .size().reset_index(name="c"))
+        em = (df[df["is_empty"]].groupby(["b", "s"], sort=False)
+              .size().reset_index(name="ne"))
+        em = em[em["ne"] >= 2].copy()
+        em["sp"] = "empty"
+        em["c"] = em["ne"] - 1
+        rows = pd.concat([counts, em[["b", "s", "sp", "c"]]],
+                         ignore_index=True)
+        b = rows["b"].to_numpy()
+        s = rows["s"].to_numpy()
+        c = rows["c"].to_numpy().astype(np.float64)
+        out = {"format": fmt[b], "species": rows["sp"].to_numpy(),
+               "ord": (pd.Series(doc[b]).astype(str) + "|"
+                       + pd.Series(s).astype(str)).to_numpy()}
+        for k in _CUTS:
+            w = np.where(s == 1, _col(t, f"p1_w{k}")[b],
+                         _col(t, f"p2_w{k}")[b])
+            out[f"w{k}"] = c * w
+        return _pt(pd.DataFrame(out))
 
     part = parsed.map_batches(_explode, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
