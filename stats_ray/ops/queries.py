@@ -742,6 +742,69 @@ FROM p ORDER BY doc_id
 """
 
 
+def _q_chunks(sf_dir: str):
+    from .text import chunk_documents
+    return _pd(chunk_documents(sf_dir)).sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+_SQL_CHUNKS = """
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(CEIL(length(text) / 384.0) AS BIGINT)))
+           AS chunk_idx
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(LEAST(512, length(text) - chunk_idx * 384) AS BIGINT)
+         AS chunk_chars,
+       md5(substr(text, CAST(chunk_idx * 384 + 1 AS BIGINT), 512))
+         AS chunk_md5
+FROM g
+"""
+
+
+def _q_source_cap(sf_dir: str):
+    from .text import source_cap
+    return _pd(source_cap(sf_dir)).sort_values(
+        ["source", "doc_id"]).reset_index(drop=True)
+
+
+_SQL_SOURCE_CAP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+"""
+
+
+def _q_pii_scrub(sf_dir: str):
+    from .text import pii_scrub
+    return _pd(pii_scrub(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+
+
+# same patterns + same email-then-phone order as ops/text.PII_EMAIL/PII_PHONE
+_SQL_PII_SCRUB = r"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS t1
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1,
+         '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(t1, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}',
+                          '<PHONE>', 'g')) AS clean_md5
+FROM s1
+"""
+
+
+
 QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
@@ -787,6 +850,9 @@ QUERIES = {
     "events_funnel": _q_funnel,
     "doc_clean_corpus": _q_clean_corpus,
     "doc_pack_sequences": _q_pack_sequences,
+    "doc_chunks": _q_chunks,
+    "doc_source_cap": _q_source_cap,
+    "doc_pii_scrub": _q_pii_scrub,
 }
 
 ORACLES = {
@@ -824,6 +890,9 @@ ORACLES = {
     "events_funnel": _SQL_FUNNEL,
     "doc_clean_corpus": _SQL_CLEAN_CORPUS,
     "doc_pack_sequences": _SQL_PACK_SEQUENCES,
+    "doc_chunks": _SQL_CHUNKS,
+    "doc_source_cap": _SQL_SOURCE_CAP,
+    "doc_pii_scrub": _SQL_PII_SCRUB,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -347,3 +347,100 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
         })
 
     return cnt.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def chunk_documents(sf_dir: str, size: int = 512,
+                    stride: int = 384) -> Dataset:
+    """Fixed-size character chunking with overlap (size - stride chars):
+    the training-data prep step before tokenization/packing. One row per
+    (doc_id, chunk_idx) with the chunk's char count and md5 — content-
+    addressed so chunk-level dedup can run downstream. Docs with empty
+    text produce no chunks (matches the SQL generate-series oracle).
+
+    Scale shape: embarrassingly parallel map, no shuffle; chunk boundaries
+    come from n_chars arithmetic (repeat/cumsum index math) and only the
+    md5 touches chunk bytes."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.len().fillna(0).to_numpy().astype(np.int64)
+        k = -(-n // stride)                       # ceil; 0 for empty docs
+        total = int(k.sum())
+        if total == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "chunk_idx": pd.Series(dtype="int64"),
+                "chunk_chars": pd.Series(dtype="int64"),
+                "chunk_md5": pd.Series(dtype=object)})
+        idx = np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+        starts = idx * stride
+        text_rep = np.repeat(df["text"].to_numpy(), k)
+        n_rep = np.repeat(n, k)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), k).astype("int64"),
+            "chunk_idx": idx.astype("int64"),
+            "chunk_chars": np.minimum(size, n_rep - starts).astype("int64"),
+            "chunk_md5": [hashlib.md5(t[s:s + size].encode()).hexdigest()
+                          for t, s in zip(text_rep, starts)],
+        })
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
+def source_cap(sf_dir: str, k: int = 10) -> Dataset:
+    """Per-source document cap (C4-style domain balancing): keep the k
+    lowest-doc_id docs of every source.
+
+    Scale shape: per-batch partial top-k per source (each batch emits at
+    most k rows per source it contains), then ONE source-keyed groupby
+    whose groups are <= n_batches * k rows — never a global sort, never
+    more than k rows per key leaving a task."""
+    ds = read_documents(sf_dir, ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values("doc_id")
+                .groupby("source", sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values("doc_id").head(k).copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("source").map_groups(final, batch_format="pandas"))
+
+
+# PII patterns kept to a regex subset with identical semantics in Python re
+# and RE2 (no backrefs/lookaround), so engine and DuckDB oracle rewrite
+# byte-identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_scrub(sf_dir: str) -> Dataset:
+    """PII redaction over the documents table: replace emails then phone
+    numbers with sentinels; emit per-doc match counts and the md5 of the
+    scrubbed text (content-addressed, so the oracle verifies the actual
+    rewrite, not just the counts). Embarrassingly parallel, no shuffle;
+    regexes compile once per actor."""
+
+    class Scrub:
+        def __init__(self):
+            self.email = re.compile(PII_EMAIL)
+            self.phone = re.compile(PII_PHONE)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n_email = df["text"].str.count(self.email)
+            step1 = df["text"].str.replace(self.email, "<EMAIL>", regex=True)
+            n_phone = step1.str.count(self.phone)
+            clean = step1.str.replace(self.phone, "<PHONE>", regex=True)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_emails": n_email.fillna(0).astype("int64"),
+                "n_phones": n_phone.fillna(0).astype("int64"),
+                "clean_md5": [hashlib.md5(t.encode()).hexdigest()
+                              for t in clean],
+            })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Scrub, batch_format="pandas", concurrency=(1, 4))

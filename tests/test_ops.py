@@ -47,6 +47,7 @@ def _norm(df):
     "events_heavy_hitters", "events_stratified_sample",
     "events_json_props", "events_retention", "events_funnel",
     "doc_clean_corpus", "doc_pack_sequences",
+    "doc_chunks", "doc_source_cap", "doc_pii_scrub",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -308,3 +309,50 @@ def test_repetition_stats_skips_zero_token_docs(ray_session, tmp_path, con):
     got = out.sort_values("doc_id").reset_index(drop=True)
     assert list(got["doc_id"]) == list(oracle["doc_id"])
     assert list(got["n_tokens"]) == list(oracle["n_tokens"])
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """Planted emails and phone numbers are counted and redacted; the
+    scrubbed-text md5 matches a hand-computed rewrite."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.text import pii_scrub
+    texts = [
+        "contact alice.smith+spam@example-mail.co and bob@test.org today",
+        "call +1 555-123-4567 or 555 987 6543 now",
+        "no pii here at all",
+    ]
+    pq.write_table(pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = (pii_scrub(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_emails"].tolist() == [2, 0, 0]
+    # '+1 555-123-4567' matches on '555-123-4567'; '555 987 6543' matches
+    assert out["n_phones"].tolist() == [0, 2, 0]
+    expected0 = "contact <EMAIL> and <EMAIL> today"
+    expected1 = "call +1 <PHONE> or <PHONE> now"
+    assert out.loc[0, "clean_md5"] == hashlib.md5(
+        expected0.encode()).hexdigest()
+    assert out.loc[1, "clean_md5"] == hashlib.md5(
+        expected1.encode()).hexdigest()
+
+
+def test_chunk_documents_boundaries(ray_session, tmp_path):
+    """Chunk math: overlap, short tail, empty doc -> zero chunks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.text import chunk_documents
+    texts = ["a" * 1000, "b" * 10, ""]
+    pq.write_table(pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = (chunk_documents(str(tmp_path), size=512, stride=384).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    # doc 0: starts 0/384/768 -> lens 512, 512, 232; doc 1: one chunk of 10
+    assert out["doc_id"].tolist() == [0, 0, 0, 1]
+    assert out["chunk_chars"].tolist() == [512, 512, 232, 10]
