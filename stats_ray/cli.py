@@ -50,6 +50,16 @@ def cmd_reports(args):
     print(json.dumps({f"{k[0]}-{k[1]}": sorted(v) for k, v in written.items()}))
 
 
+def cmd_mono_reports(args):
+    _ray()
+    from .pipelines.usage import parse_pipeline, render_monotype_reports
+    parsed = parse_pipeline(args.corpus).materialize()
+    written = render_monotype_reports(
+        parsed, args.out, fmt=args.format,
+        tags=args.tags.split(",") if args.tags else None)
+    print(json.dumps({f"{k[0]}-{k[1]}": sorted(v) for k, v in written.items()}))
+
+
 def cmd_anon(args):
     _ray()
     from .stages.anon import anonymize_pipeline, ordinal_rename
@@ -138,6 +148,13 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--formats", default=None)
     sp.set_defaults(fn=cmd_reports)
+
+    sp = sub.add_parser("mono-reports")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--format", default="gen9monotype")
+    sp.add_argument("--tags", default=None)
+    sp.set_defaults(fn=cmd_mono_reports)
 
     sp = sub.add_parser("anon")
     sp.add_argument("--corpus", required=True)
