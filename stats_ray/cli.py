@@ -9,12 +9,23 @@ Usage:
   python -m stats_ray.cli db     --corpus DIR --out DIR
   python -m stats_ray.cli tiers  --corpus DIR --out FILE
   python -m stats_ray.cli synth  --sf 0.01 [--n N]
+
+Cluster runs: every subcommand is `ray job submit`-able —
+
+  ray job submit --working-dir . -- \
+      python -m stats_ray.cli stats --corpus s3://... --out s3://...
+
+The job runner sets RAY_ADDRESS to the cluster head; the guarded init
+below connects to it instead of starting a local session, so the same
+command line works standalone (RAY_ADDRESS unset or "local") and on a
+multi-node cluster.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def _ray():
@@ -24,8 +35,13 @@ def _ray():
     from ray.data import DataContext
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        else:
+            # `ray job submit` / existing cluster: connect, don't start.
+            ray.init(address=addr, logging_level="ERROR")
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     return ray
