@@ -561,3 +561,76 @@ def pair_jaccard(sf_dir: str) -> Dataset:
 
     return (docs.map_batches(tag, batch_format="pandas")
             .groupby("pair_id").map_groups(score, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (substring-level dedup)
+
+def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
+    """Exact duplicate k-gram span detection — substring-level dedup in the
+    style of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), at word granularity so a DuckDB oracle can mirror it
+    exactly.
+
+    A word k-gram window (position = 0-based index of its first word, words
+    = ASCII-whitespace split of lower(text), the ops-wide tokenization
+    contract) is *duplicated* iff the identical k-gram occurs in >=2
+    distinct documents. Per document, OVERLAPPING duplicated windows
+    (position gap <= k-1; merely adjacent spans stay separate) merge into
+    maximal spans. Output: (doc_id, span_start, span_end, n_words), span
+    bounds inclusive word indices.
+
+    Scale shape: a batch map explodes (gram, doc_id, pos) rows; ONE
+    groupby(gram) keeps the cross-doc groups; ONE groupby(doc_id) merges
+    sorted window positions into islands with a vectorized diff/cumsum.
+    No driver-side state. The exchange key is the gram string for oracle
+    exactness — the production path would pre-hash grams to 128 bits
+    (collision-free in practice) to cut exchange bytes.
+    """
+    from .decontam import _words
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc: list[int] = []
+        out_pos: list[int] = []
+        out_gram: list[str] = []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            w = _words(text)
+            n = len(w) - k + 1
+            if n <= 0:
+                continue
+            out_doc.extend([int(did)] * n)
+            out_pos.extend(range(n))
+            out_gram.extend(" ".join(w[i:i + k]) for i in range(n))
+        return pd.DataFrame({
+            "gram": pd.Series(out_gram, dtype="object"),
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "pos": pd.Series(out_pos, dtype="int64"),
+        })
+
+    def keep_cross_doc(g: pd.DataFrame) -> pd.DataFrame:
+        if g["doc_id"].nunique() < 2:
+            return g.iloc[:0][["doc_id", "pos"]]
+        return g[["doc_id", "pos"]]
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        pos = np.unique(g["pos"].to_numpy(dtype=np.int64))
+        brk = np.empty(len(pos), dtype=bool)
+        brk[0] = True
+        brk[1:] = (pos[1:] - pos[:-1]) > (k - 1)
+        island = np.cumsum(brk) - 1
+        gb = pd.DataFrame({"island": island, "pos": pos}).groupby("island")["pos"]
+        start = gb.min().to_numpy(dtype=np.int64)
+        end = gb.max().to_numpy(dtype=np.int64) + (k - 1)
+        return pd.DataFrame({
+            "doc_id": np.full(len(start), int(g["doc_id"].iloc[0]),
+                              dtype=np.int64),
+            "span_start": start,
+            "span_end": end,
+            "n_words": end - start + 1,
+        })
+
+    return (docs.map_batches(explode, batch_format="pandas")
+            .groupby("gram").map_groups(keep_cross_doc, batch_format="pandas")
+            .groupby("doc_id").map_groups(merge_spans, batch_format="pandas"))

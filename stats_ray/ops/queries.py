@@ -357,6 +357,51 @@ FROM w a JOIN w b ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id
 """
 
 
+def _q_dup_spans(sf_dir: str):
+    from .dedup import dup_spans
+    return _pd(dup_spans(sf_dir))
+
+
+# Gaps-and-islands over duplicated 5-gram window positions: a window is
+# duplicated iff its gram occurs in >=2 distinct docs; windows whose
+# positions differ by <= k-1 = 4 overlap and merge into one span.
+_SQL_DUP_SPANS = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) t
+  WHERE len(w) >= 5
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+wins AS (
+  SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+              THEN 0 ELSE 1 END AS brk
+  FROM wins
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS n_words
+FROM islands GROUP BY doc_id, island
+"""
+
+
 def _q_top_parts(sf_dir: str):
     from .relational import top_parts_per_nation
     return top_parts_per_nation(sf_dir)
@@ -853,6 +898,7 @@ QUERIES = {
     "doc_chunks": _q_chunks,
     "doc_source_cap": _q_source_cap,
     "doc_pii_scrub": _q_pii_scrub,
+    "doc_dup_spans": _q_dup_spans,
 }
 
 ORACLES = {
@@ -893,6 +939,7 @@ ORACLES = {
     "doc_chunks": _SQL_CHUNKS,
     "doc_source_cap": _SQL_SOURCE_CAP,
     "doc_pii_scrub": _SQL_PII_SCRUB,
+    "doc_dup_spans": _SQL_DUP_SPANS,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

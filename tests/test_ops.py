@@ -47,7 +47,7 @@ def _norm(df):
     "events_heavy_hitters", "events_stratified_sample",
     "events_json_props", "events_retention", "events_funnel",
     "doc_clean_corpus", "doc_pack_sequences",
-    "doc_chunks", "doc_source_cap", "doc_pii_scrub",
+    "doc_chunks", "doc_source_cap", "doc_pii_scrub", "doc_dup_spans",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -339,6 +339,30 @@ def test_pii_scrub_planted(ray_session, tmp_path):
         expected0.encode()).hexdigest()
     assert out.loc[1, "clean_md5"] == hashlib.md5(
         expected1.encode()).hexdigest()
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    """Span semantics: cross-doc 5-gram windows merge into maximal spans;
+    same-doc-only repeats are not flagged; overlap (not adjacency) merges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.dedup import dup_spans
+    shared = "one two three four five six seven"   # 7 words, 3 windows
+    texts = [
+        f"alpha {shared} omega",                   # dup at words 1..7
+        f"{shared} tail words here and more",      # dup at words 0..6
+        "one two three one two three one two three",  # self-repeat only
+        "unrelated text with no duplicate content at all",
+    ]
+    pq.write_table(pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = (dup_spans(str(tmp_path)).to_pandas()
+           .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out[["span_start", "span_end"]].values.tolist() == [[1, 7], [0, 6]]
+    assert out["n_words"].tolist() == [7, 7]
 
 
 def test_chunk_documents_boundaries(ray_session, tmp_path):
