@@ -499,8 +499,8 @@ def resolve_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
     """Union-find over near-dup pairs (id1, id2) -> (doc_id, keep_doc_id)
     with the cluster minimum as representative. Pair lists are small
     relative to the corpus (near-dup density), so driver-side union-find is
-    the right altitude; for pathological densities run iterative min-label
-    propagation over the same co-partition exchange instead."""
+    the right altitude; for pathological densities use
+    `propagate_min_labels` below — the same contract, fully distributed."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -566,27 +566,9 @@ def pair_jaccard(sf_dir: str) -> Dataset:
 # ---------------------------------------------------------------------------
 # exact duplicate-span detection (substring-level dedup)
 
-def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
-    """Exact duplicate k-gram span detection — substring-level dedup in the
-    style of Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    Models Better"), at word granularity so a DuckDB oracle can mirror it
-    exactly.
-
-    A word k-gram window (position = 0-based index of its first word, words
-    = ASCII-whitespace split of lower(text), the ops-wide tokenization
-    contract) is *duplicated* iff the identical k-gram occurs in >=2
-    distinct documents. Per document, OVERLAPPING duplicated windows
-    (position gap <= k-1; merely adjacent spans stay separate) merge into
-    maximal spans. Output: (doc_id, span_start, span_end, n_words), span
-    bounds inclusive word indices.
-
-    Scale shape: a batch map explodes (gram, doc_id, pos) rows; ONE
-    groupby(gram) keeps the cross-doc groups; ONE groupby(doc_id) merges
-    sorted window positions into islands with a vectorized diff/cumsum.
-    No driver-side state. The exchange key is the gram string for oracle
-    exactness — the production path would pre-hash grams to 128 bits
-    (collision-free in practice) to cut exchange bytes.
-    """
+def _gram_windows(sf_dir: str, k: int) -> Dataset:
+    """(gram, doc_id, pos) rows: one per word k-gram window per document
+    (words = ASCII-whitespace split of lower(text), the ops-wide contract)."""
     from .decontam import _words
 
     docs = read_documents(sf_dir, ["doc_id", "text"])
@@ -609,6 +591,30 @@ def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
             "pos": pd.Series(out_pos, dtype="int64"),
         })
 
+    return docs.map_batches(explode, batch_format="pandas")
+
+
+def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
+    """Exact duplicate k-gram span detection — substring-level dedup in the
+    style of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), at word granularity so a DuckDB oracle can mirror it
+    exactly.
+
+    A word k-gram window (position = 0-based index of its first word, words
+    = ASCII-whitespace split of lower(text), the ops-wide tokenization
+    contract) is *duplicated* iff the identical k-gram occurs in >=2
+    distinct documents. Per document, OVERLAPPING duplicated windows
+    (position gap <= k-1; merely adjacent spans stay separate) merge into
+    maximal spans. Output: (doc_id, span_start, span_end, n_words), span
+    bounds inclusive word indices.
+
+    Scale shape: a batch map explodes (gram, doc_id, pos) rows; ONE
+    groupby(gram) keeps the cross-doc groups; ONE groupby(doc_id) merges
+    sorted window positions into islands with a vectorized diff/cumsum.
+    No driver-side state. The exchange key is the gram string for oracle
+    exactness — the production path would pre-hash grams to 128 bits
+    (collision-free in practice) to cut exchange bytes.
+    """
     def keep_cross_doc(g: pd.DataFrame) -> pd.DataFrame:
         if g["doc_id"].nunique() < 2:
             return g.iloc[:0][["doc_id", "pos"]]
@@ -631,6 +637,107 @@ def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
             "n_words": end - start + 1,
         })
 
-    return (docs.map_batches(explode, batch_format="pandas")
+    return (_gram_windows(sf_dir, k)
             .groupby("gram").map_groups(keep_cross_doc, batch_format="pandas")
             .groupby("doc_id").map_groups(merge_spans, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# distributed duplicate-cluster resolution (min-label propagation)
+
+def propagate_min_labels(pairs: Dataset, max_iters: int = 50,
+                         n_buckets: int = 64) -> Dataset:
+    """Distributed connected components over near-dup pairs (id1, id2) ->
+    (doc_id, keep_doc_id) with the component minimum as representative —
+    the scale path for `resolve_clusters` when the pair list is too dense
+    to collect on the driver. Requires non-negative ids (−1 is the label
+    sentinel in the fused exchange).
+
+    Each round is two bucketed co-partition exchanges, no driver graph:
+      1. union(labels, edge ends) keyed by hash bucket; inside each bucket
+         group a vectorized pandas merge attaches every node's current
+         label to its incident edge ends, emitting (other_end, label)
+         messages plus the node's own (node, label);
+      2. a bucketed groupby takes the min message per node.
+    Labels only ever decrease, so sum(label) is a strictly decreasing
+    fixpoint monitor: the loop stops when it stops changing (≤ component
+    diameter rounds). Driver state per round is one scalar.
+    """
+    ends = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "key": np.concatenate([df["id1"].to_numpy(np.int64),
+                                   df["id2"].to_numpy(np.int64)]),
+            "other": np.concatenate([df["id2"].to_numpy(np.int64),
+                                     df["id1"].to_numpy(np.int64)]),
+        }), batch_format="pandas")
+    edges = ends.map_batches(
+        lambda df: df.assign(bucket=(df["key"] % n_buckets).astype("int64"),
+                             lab=np.int64(-1)),
+        batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "keep_doc_id": pd.Series(dtype="int64")}))
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["key"].to_numpy(np.int64))
+        return pd.DataFrame({"key": nodes, "other": np.int64(-1),
+                             "bucket": g["bucket"].iloc[0], "lab": nodes})
+
+    labels = (edges.groupby("bucket")
+              .map_groups(dedup_nodes, batch_format="pandas").materialize())
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["other"] < 0]
+        e = g[g["other"] >= 0]
+        m = e[["key", "other"]].merge(lab[["key", "lab"]], on="key")
+        node = np.concatenate([m["other"].to_numpy(np.int64),
+                               lab["key"].to_numpy(np.int64)])
+        msg = np.concatenate([m["lab"].to_numpy(np.int64),
+                              lab["lab"].to_numpy(np.int64)])
+        return pd.DataFrame({"node": node, "lab": msg,
+                             "bucket": (node % n_buckets).astype("int64")})
+
+    def minimize(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["lab"].min()
+        return pd.DataFrame({"key": out["node"].astype("int64"),
+                             "other": np.int64(-1),
+                             "bucket": g["bucket"].iloc[0],
+                             "lab": out["lab"].astype("int64")})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        labels = (labels.union(edges)
+                  .groupby("bucket").map_groups(attach, batch_format="pandas")
+                  .groupby("bucket").map_groups(minimize,
+                                                batch_format="pandas")
+                  .materialize())
+        s = labels.sum("lab")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["key"].astype("int64"),
+                                 "keep_doc_id": df["lab"].astype("int64")}),
+        batch_format="pandas")
+
+
+def dup_clusters(sf_dir: str, k: int = 5) -> Dataset:
+    """Duplicate-content families: connected components over "docs sharing
+    a duplicated word k-gram" (star edges per gram preserve components),
+    resolved fully distributed with `propagate_min_labels`. Output:
+    (doc_id, keep_doc_id = component min) for every doc in >=1 cross-doc
+    gram."""
+    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.unique(g["doc_id"].to_numpy(np.int64))
+        if len(docs) < 2:
+            return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                                 "id2": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id1": np.full(len(docs) - 1, docs[0],
+                                            dtype=np.int64),
+                             "id2": docs[1:]})
+
+    pairs = (_gram_windows(sf_dir, k)
+             .groupby("gram").map_groups(star_edges, batch_format="pandas"))
+    return propagate_min_labels(pairs)

@@ -402,6 +402,49 @@ FROM islands GROUP BY doc_id, island
 """
 
 
+def _q_dup_clusters(sf_dir: str):
+    from .dedup import dup_clusters
+    return _pd(dup_clusters(sf_dir))
+
+
+# Connected components over "docs sharing a duplicated 5-gram" (star edges
+# per gram), resolved via a recursive-CTE transitive closure + min label.
+_SQL_DUP_CLUSTERS = r"""
+WITH RECURSIVE
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) t
+  WHERE len(w) >= 5
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dg AS (SELECT g.gram, g.doc_id FROM grams g JOIN dup USING (gram)),
+star AS (SELECT gram, MIN(doc_id) AS hub FROM dg GROUP BY gram),
+edges AS (
+  SELECT s.hub AS a, d.doc_id AS b
+  FROM dg d JOIN star s USING (gram) WHERE d.doc_id <> s.hub
+  UNION
+  SELECT d.doc_id AS a, s.hub AS b
+  FROM dg d JOIN star s USING (gram) WHERE d.doc_id <> s.hub
+),
+nodes AS (SELECT DISTINCT doc_id FROM dg),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS keep_doc_id
+FROM reach GROUP BY node
+"""
+
+
 def _q_top_parts(sf_dir: str):
     from .relational import top_parts_per_nation
     return top_parts_per_nation(sf_dir)
@@ -899,6 +942,7 @@ QUERIES = {
     "doc_source_cap": _q_source_cap,
     "doc_pii_scrub": _q_pii_scrub,
     "doc_dup_spans": _q_dup_spans,
+    "doc_dup_clusters": _q_dup_clusters,
 }
 
 ORACLES = {
@@ -940,6 +984,7 @@ ORACLES = {
     "doc_source_cap": _SQL_SOURCE_CAP,
     "doc_pii_scrub": _SQL_PII_SCRUB,
     "doc_dup_spans": _SQL_DUP_SPANS,
+    "doc_dup_clusters": _SQL_DUP_CLUSTERS,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -48,6 +48,7 @@ def _norm(df):
     "events_json_props", "events_retention", "events_funnel",
     "doc_clean_corpus", "doc_pack_sequences",
     "doc_chunks", "doc_source_cap", "doc_pii_scrub", "doc_dup_spans",
+    "doc_dup_clusters",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -339,6 +340,26 @@ def test_pii_scrub_planted(ray_session, tmp_path):
         expected0.encode()).hexdigest()
     assert out.loc[1, "clean_md5"] == hashlib.md5(
         expected1.encode()).hexdigest()
+
+
+def test_propagate_min_labels_matches_union_find(ray_session):
+    """Distributed min-label propagation equals driver union-find on a
+    path graph (worst-case diameter — forces multiple rounds) plus a
+    seeded random graph."""
+    import ray.data
+
+    from stats_ray.ops.dedup import propagate_min_labels, resolve_clusters
+
+    # path 10-11-...-29 (diameter 19) + random edges over 200 nodes
+    rng = np.random.RandomState(7)
+    path = [(i, i + 1) for i in range(10, 29)]
+    rand = [(int(a), int(b)) for a, b in rng.randint(100, 300, size=(60, 2))
+            if a != b]
+    pairs = pd.DataFrame(path + rand, columns=["id1", "id2"]).astype("int64")
+    want = resolve_clusters(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = (propagate_min_labels(ray.data.from_pandas(pairs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_dup_spans_planted(ray_session, tmp_path):
