@@ -566,9 +566,15 @@ def pair_jaccard(sf_dir: str) -> Dataset:
 # ---------------------------------------------------------------------------
 # exact duplicate-span detection (substring-level dedup)
 
-def _gram_windows(sf_dir: str, k: int) -> Dataset:
+def _gram_windows(sf_dir: str, k: int, hash_grams: bool = False) -> Dataset:
     """(gram, doc_id, pos) rows: one per word k-gram window per document
-    (words = ASCII-whitespace split of lower(text), the ops-wide contract)."""
+    (words = ASCII-whitespace split of lower(text), the ops-wide contract).
+
+    hash_grams=True is the 100-TB exchange shape: grams ride as 64-bit
+    hashes (vectorized `pd.util.hash_array`) instead of strings, cutting
+    shuffle bytes by the mean gram length; a hash collision can merge two
+    unrelated gram groups (probability ~n²/2⁶⁴), so the oracle-exact
+    string mode stays the default."""
     from .decontam import _words
 
     docs = read_documents(sf_dir, ["doc_id", "text"])
@@ -585,8 +591,14 @@ def _gram_windows(sf_dir: str, k: int) -> Dataset:
             out_doc.extend([int(did)] * n)
             out_pos.extend(range(n))
             out_gram.extend(" ".join(w[i:i + k]) for i in range(n))
+        gram: pd.Series | np.ndarray
+        if hash_grams:
+            gram = pd.util.hash_array(
+                np.asarray(out_gram, dtype=object)).astype("int64")
+        else:
+            gram = pd.Series(out_gram, dtype="object")
         return pd.DataFrame({
-            "gram": pd.Series(out_gram, dtype="object"),
+            "gram": gram,
             "doc_id": pd.Series(out_doc, dtype="int64"),
             "pos": pd.Series(out_pos, dtype="int64"),
         })
@@ -594,7 +606,7 @@ def _gram_windows(sf_dir: str, k: int) -> Dataset:
     return docs.map_batches(explode, batch_format="pandas")
 
 
-def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
+def dup_spans(sf_dir: str, k: int = 5, hash_grams: bool = False) -> Dataset:
     """Exact duplicate k-gram span detection — substring-level dedup in the
     style of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     Models Better"), at word granularity so a DuckDB oracle can mirror it
@@ -612,8 +624,8 @@ def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
     groupby(gram) keeps the cross-doc groups; ONE groupby(doc_id) merges
     sorted window positions into islands with a vectorized diff/cumsum.
     No driver-side state. The exchange key is the gram string for oracle
-    exactness — the production path would pre-hash grams to 128 bits
-    (collision-free in practice) to cut exchange bytes.
+    exactness; hash_grams=True is the production shape (64-bit hashed
+    keys — see `_gram_windows`).
     """
     def keep_cross_doc(g: pd.DataFrame) -> pd.DataFrame:
         if g["doc_id"].nunique() < 2:
@@ -637,7 +649,7 @@ def dup_spans(sf_dir: str, k: int = 5) -> Dataset:
             "n_words": end - start + 1,
         })
 
-    return (_gram_windows(sf_dir, k)
+    return (_gram_windows(sf_dir, k, hash_grams)
             .groupby("gram").map_groups(keep_cross_doc, batch_format="pandas")
             .groupby("doc_id").map_groups(merge_spans, batch_format="pandas"))
 
@@ -723,7 +735,7 @@ def propagate_min_labels(pairs: Dataset, max_iters: int = 50,
         batch_format="pandas")
 
 
-def dup_clusters(sf_dir: str, k: int = 5) -> Dataset:
+def dup_clusters(sf_dir: str, k: int = 5, hash_grams: bool = False) -> Dataset:
     """Duplicate-content families: connected components over "docs sharing
     a duplicated word k-gram" (star edges per gram preserve components),
     resolved fully distributed with `propagate_min_labels`. Output:
@@ -738,6 +750,6 @@ def dup_clusters(sf_dir: str, k: int = 5) -> Dataset:
                                             dtype=np.int64),
                              "id2": docs[1:]})
 
-    pairs = (_gram_windows(sf_dir, k)
+    pairs = (_gram_windows(sf_dir, k, hash_grams)
              .groupby("gram").map_groups(star_edges, batch_format="pandas"))
     return propagate_min_labels(pairs)

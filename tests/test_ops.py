@@ -362,6 +362,19 @@ def test_propagate_min_labels_matches_union_find(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_dup_spans_hashed_grams_match_strings(ray_session):
+    """The 64-bit hashed-gram exchange (scale path) yields the same spans
+    as the oracle-exact string-keyed exchange on real data."""
+    from stats_ray.ops.dedup import dup_spans
+
+    def run(hash_grams):
+        return (dup_spans(SF, hash_grams=hash_grams).to_pandas()
+                .sort_values(["doc_id", "span_start"])
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(run(True), run(False))
+
+
 def test_dup_spans_planted(ray_session, tmp_path):
     """Span semantics: cross-doc 5-gram windows merge into maximal spans;
     same-doc-only repeats are not flagged; overlap (not adjacency) merges."""
