@@ -1,0 +1,138 @@
+"""Language-model scoring for corpus curation: unigram perplexity
+(CCNet-style quality signal, Wenzek et al. 2020) and DSIR-style importance
+log-ratios (Xie et al. 2023 "Data Selection for Language Models via
+Importance Resampling") — both public algorithms, re-expressed Ray-Data-
+first.
+
+Shape (the part that must survive 100 TB):
+- model TRAINING is a vocabulary-sized problem: per-batch token partials
+  (in-batch combine) -> one groupby-sum over DISTINCT tokens -> the count
+  table collects on the driver and broadcasts via `ray.put` ONCE. The
+  corpus itself is never shuffled. At web scale the exact vocabulary is
+  ~1e7-1e8 terms (GBs at most); if that ever exceeds driver heap, hash
+  tokens into 2^k buckets first (what DSIR itself does with hashed
+  n-grams) — the scoring stage is unchanged.
+- SCORING is embarrassingly parallel: an actor pool gets the broadcast
+  log-prob table in `__init__` and maps batches; per-token work is one
+  hash lookup via a vectorized pandas map, per-doc reduction is a grouped
+  mean. One pass, no exchange.
+
+Both models use add-one smoothing over the SHARED (union) vocabulary:
+  p_m(w) = (c_m(w) + 1) / (N_m + V + 1)
+so the target model is defined on every background token (the +1 mass
+covers target-OOV words) and the SQL oracle can reproduce the math
+verbatim. The target slice is the same deterministic doc_id % BENCH_MOD
+carve-out `ops/decontam.py` uses as its stand-in benchmark.
+
+Tokenization follows the engine/oracle contract in ops/decontam.py:
+lowercase + split on ASCII whitespace runs (RE2-`\\s`-compatible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .decontam import BENCH_MOD, _words
+from .text import read_documents
+
+
+def unigram_counts(sf_dir: str) -> pd.DataFrame:
+    """(token, c_b, c_t): corpus-wide and target-slice counts in ONE pass —
+    per-batch partial combine, then a vocabulary-sized groupby-sum."""
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            ws = _words(t)
+            ids.extend([i] * len(ws))
+            toks.extend(ws)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "c_b": pd.Series([], dtype="int64"),
+                                 "c_t": pd.Series([], dtype="int64")})
+        part = pd.DataFrame({
+            "token": toks,
+            "c_b": 1,
+            "c_t": (np.asarray(ids, dtype=np.int64) % BENCH_MOD == 0)
+            .astype("int64"),
+        })
+        return part.groupby("token", as_index=False).sum()
+
+    counts = (docs.map_batches(partial, batch_format="pandas")
+              .groupby("token")
+              .aggregate(Sum("c_b", alias_name="c_b"),
+                         Sum("c_t", alias_name="c_t"))
+              .to_pandas())
+    counts["c_b"] = counts["c_b"].astype("int64")
+    counts["c_t"] = counts["c_t"].astype("int64")
+    return counts
+
+
+class _LMScore:
+    """Actor-pool scorer: broadcast log-prob tables in, per-doc
+    (n_tokens, avg_nll, ppl, dsir_logratio) out."""
+
+    def __init__(self, model_ref):
+        logp_b, logp_t, self.oov_b, self.oov_t = ray.get(model_ref)
+        # pandas map against a Series uses the hash index in C
+        self.lb = pd.Series(logp_b)
+        self.lt = pd.Series(logp_t)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            ws = _words(t)
+            ids.extend([i] * len(ws))
+            toks.extend(ws)
+        if not toks:  # zero-token docs are skipped (SQL inner-join contract)
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "avg_nll": pd.Series([], dtype="float64"),
+                                 "ppl": pd.Series([], dtype="float64"),
+                                 "dsir_logratio": pd.Series([],
+                                                            dtype="float64")})
+        s = pd.Series(toks)
+        lb = s.map(self.lb).fillna(self.oov_b).to_numpy()
+        lt = s.map(self.lt).fillna(self.oov_t).to_numpy()
+        g = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                          "nll": -lb, "lr": lt - lb})
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(n_tokens=("nll", "size"), avg_nll=("nll", "mean"),
+                    dsir_logratio=("lr", "mean")))
+        out["ppl"] = np.exp(out["avg_nll"])
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out[["doc_id", "n_tokens", "avg_nll", "ppl", "dsir_logratio"]]
+
+
+def lm_perplexity(sf_dir: str) -> Dataset:
+    """Per-document unigram perplexity + DSIR importance log-ratio.
+
+    avg_nll  = mean over tokens of -ln p_bg(w)      (quality signal; CCNet
+               buckets docs into head/middle/tail by this)
+    ppl      = exp(avg_nll)
+    dsir_logratio = mean of ln p_target(w) - ln p_bg(w)  (importance weight;
+               resample docs proportional to exp of this to tilt the corpus
+               toward the target domain)
+    """
+    counts = unigram_counts(sf_dir)
+    v = len(counts)
+    n_b = int(counts["c_b"].sum())
+    n_t = int(counts["c_t"].sum())
+    logp_b = dict(zip(counts["token"],
+                      np.log((counts["c_b"].to_numpy() + 1.0)
+                             / (n_b + v + 1))))
+    logp_t = dict(zip(counts["token"],
+                      np.log((counts["c_t"].to_numpy() + 1.0)
+                             / (n_t + v + 1))))
+    oov_b = float(np.log(1.0 / (n_b + v + 1)))
+    oov_t = float(np.log(1.0 / (n_t + v + 1)))
+    model_ref = ray.put((logp_b, logp_t, oov_b, oov_t))
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _LMScore, batch_format="pandas", concurrency=(1, 8),
+        fn_constructor_args=(model_ref,))

@@ -74,6 +74,102 @@ GROUP BY 1
 """
 
 
+def _q_order_lineitem_revenue(sf_dir: str):
+    from .relational import order_lineitem_revenue
+    df = order_lineitem_revenue(sf_dir)
+    return _r4(df, ["revenue"])
+
+
+_SQL_ORDER_LINEITEM_REVENUE = """
+SELECT o.o_orderpriority, l.l_returnflag,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_customer_order_counts(sf_dir: str):
+    from .relational import customer_order_counts
+    df = customer_order_counts(sf_dir)
+    return _r4(df, ["total_spend"])
+
+
+_SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN o.n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_order,
+       CAST(COALESCE(SUM(o.n_orders), 0) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(SUM(o.total_spend), 0), 4) AS total_spend
+FROM customer c LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spend
+    FROM orders GROUP BY 1
+) o ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_lm_perplexity(sf_dir: str):
+    from .lm import lm_perplexity
+    df = _pd(lm_perplexity(sf_dir))
+    return _r4(df, ["avg_nll", "ppl", "dsir_logratio"])
+
+
+# Unigram LM with add-one smoothing over the shared vocabulary; target
+# slice = doc_id % 37 == 0 (the decontam benchmark carve-out). Tokenization
+# contract: lowercase + ASCII-whitespace split (see ops/decontam.py).
+_SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, COUNT(*) AS c_b,
+         SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS c_t
+  FROM toks GROUP BY w
+), tot AS (
+  SELECT SUM(c_b) AS n_b, SUM(c_t) AS n_t, COUNT(*) AS v FROM counts
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-LN((c.c_b + 1.0) / (tot.n_b + tot.v + 1))), 4) AS avg_nll,
+       ROUND(EXP(AVG(-LN((c.c_b + 1.0) / (tot.n_b + tot.v + 1)))), 4) AS ppl,
+       ROUND(AVG(LN((c.c_t + 1.0) / (tot.n_t + tot.v + 1))
+                 - LN((c.c_b + 1.0) / (tot.n_b + tot.v + 1))), 4)
+           AS dsir_logratio
+FROM toks t JOIN counts c USING (w), tot
+GROUP BY t.doc_id
+"""
+
+
+def _q_export_shards(sf_dir: str):
+    import tempfile
+
+    from .export import export_shards
+    out = tempfile.mkdtemp(prefix="stats_ray_export_")
+    df = _pd(export_shards(sf_dir, out_dir=out))
+    for c in ("shard", "n_docs", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+_SQL_EXPORT_SHARDS = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(concat('7:', CAST(doc_id AS VARCHAR))) AS k,
+         ('0x' || substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8))
+             ::BIGINT % 16 AS shard
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       MIN(k) AS min_key, MAX(k) AS max_key
+FROM keyed GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_events_daily(sf_dir: str):
     from .relational import events_daily
     df = _pd(events_daily(sf_dir))
@@ -897,6 +993,10 @@ QUERIES = {
     "tpch_q1": _q_tpch_q1,
     "top_orders": _q_top_orders,
     "orders_by_nation": _q_orders_by_nation,
+    "order_lineitem_revenue": _q_order_lineitem_revenue,
+    "customer_order_counts": _q_customer_order_counts,
+    "doc_lm_perplexity": _q_lm_perplexity,
+    "doc_export_shards": _q_export_shards,
     "events_daily": _q_events_daily,
     "events_user_stats": _q_events_users,
     "events_sessionize": _q_events_sessions,
@@ -949,6 +1049,10 @@ ORACLES = {
     "tpch_q1": _SQL_TPCH_Q1,
     "top_orders": _SQL_TOP_ORDERS,
     "orders_by_nation": _SQL_ORDERS_BY_NATION,
+    "order_lineitem_revenue": _SQL_ORDER_LINEITEM_REVENUE,
+    "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
+    "doc_lm_perplexity": _SQL_LM_PERPLEXITY,
+    "doc_export_shards": _SQL_EXPORT_SHARDS,
     "events_daily": _SQL_EVENTS_DAILY,
     "events_user_stats": _SQL_EVENTS_USERS,
     "events_sessionize": _SQL_EVENTS_SESSIONS,

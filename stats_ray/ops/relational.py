@@ -354,6 +354,188 @@ def events_retention(sf_dir: str) -> Dataset:
             .aggregate(Sum("n_users", alias_name="n_users")))
 
 
+# --- generic large x large equi-join -----------------------------------------
+
+_JOIN_BUCKETS = 64  # default co-partition width; ~cluster cores x small factor
+
+
+def hash_join(left: Dataset, right: Dataset, on: str,
+              left_cols: list[str], right_cols: list[str],
+              how: str = "inner", n_buckets: int = _JOIN_BUCKETS) -> Dataset:
+    """Distributed equi-join of two LARGE datasets (neither side broadcast).
+
+    Shape: tag each side, union (no exchange), co-partition with ONE hash
+    exchange on a COARSE bucket of the join key, then a vectorized
+    `pandas.merge` inside each bucket — thousands of keys per task, never a
+    per-key group. This is the union+groupby co-partition pattern the as-of
+    join and the dedup verify join already use (Ray's experimental
+    `Dataset.join` hash operator stalls on small local clusters, and a
+    broadcast join is wrong when neither side fits in one heap).
+
+    Partitioning assumption: key skew is bounded by the bucket, not the key
+    — one pathological key cannot be split across tasks (same contract as a
+    SQL hash join's build side). `n_buckets` should be ~(cluster cores x
+    2-4) at scale so buckets stay heap-sized; the exchange volume is the
+    two projected sides, once.
+
+    `how` is 'inner' or 'left' (left = keep unmatched left rows with NaN
+    right columns). Join-key column must be integer-typed on both sides."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
+    lc, rc = list(left_cols), list(right_cols)
+    if set(lc) & set(rc):
+        raise ValueError(f"hash_join: overlapping payload columns "
+                         f"{sorted(set(lc) & set(rc))} — rename one side")
+    # Off-side filler columns must carry the OWNING side's Arrow type or the
+    # union's blocks won't unify (an all-NaN float64 filler next to a string
+    # column is a schema conflict). schema() costs at most one upstream block.
+    def _arrow_type(t) -> pa.DataType:
+        # pandas-block schemas report numpy dtypes / `object`, Arrow blocks
+        # report pa.DataType; normalize (object = string under our contract:
+        # join payload columns are scalars)
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or getattr(t, "kind", "") == "O":
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    ls, rs = left.schema(), right.schema()
+    l_types = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    r_types = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
+
+    # uint64 splitmix-style mix so sequential int keys spread across buckets
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def bucket_of(keys: pa.ChunkedArray) -> pa.Array:
+        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = k * mult
+            h ^= h >> np.uint64(29)
+        return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+
+    # Arrow-native tagging: owning-side columns pass through zero-copy, the
+    # off side is typed nulls — the union's blocks share one exact schema.
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {on: t[on]}
+        for c in lc:
+            cols[c] = t[c]
+        for c in rc:
+            cols[c] = pa.nulls(n, r_types[c])
+        cols["side_"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["b_"] = bucket_of(t[on])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {on: t[on]}
+        for c in lc:
+            cols[c] = pa.nulls(n, l_types[c])
+        for c in rc:
+            cols[c] = t[c]
+        cols["side_"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["b_"] = bucket_of(t[on])
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["side_"] == 0, [on] + lc]
+        r = g.loc[g["side_"] == 1, [on] + rc]
+        return l.merge(r, on=on, how=how)
+
+    return tagged.groupby("b_").map_groups(merge, batch_format="pandas")
+
+
+def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large x large inner join: lineitem |><| orders on orderkey, revenue per
+    (o_orderpriority, l_returnflag).
+
+    Scale shape: lineitem is partially combined per (orderkey, returnflag)
+    INSIDE each batch before the join (revenue/count are additive, so
+    partials of the same orderkey in different batches join independently
+    and still sum right) — the exchange carries near-per-order rows, not
+    per-line rows; the join is one co-partition exchange; the final groupby
+    is over a handful of (priority, flag) cells."""
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]),
+            n_items=1)
+        return (df.groupby(["l_orderkey", "l_returnflag"], as_index=False)
+                [["revenue", "n_items"]].sum())
+
+    lpart = line.map_batches(partial, batch_format="pandas").map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(lpart, orders, on="o_orderkey",
+                       left_cols=["l_returnflag", "revenue", "n_items"],
+                       right_cols=["o_orderpriority"], how="inner")
+    out = (joined.groupby(["o_orderpriority", "l_returnflag"])
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(["o_orderpriority", "l_returnflag"],
+                           ignore_index=True)
+
+
+def customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT join keeping zero-order customers: customer |><| per-customer
+    order partials on custkey, rolled up per market segment.
+
+    Scale shape: orders are FULLY aggregated per custkey first (in-batch
+    partial combine + one custkey exchange) so the join's right side is
+    unique per key — required for the count-distinct-customers semantics
+    (duplicate right rows would fan out the left side). The left join is
+    then one more co-partition exchange, and unmatched customers ride
+    through with NaN -> 0 so the segment rollup counts them."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def opart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_orders=1)
+        return (df.groupby("o_custkey", as_index=False)
+                .agg(n_orders=("n_orders", "sum"),
+                     total_spend=("o_totalprice", "sum")))
+
+    opartials = (orders.map_batches(opart, batch_format="pandas")
+                 .groupby("o_custkey")
+                 .aggregate(Sum("n_orders", alias_name="n_orders"),
+                            Sum("total_spend", alias_name="total_spend"))
+                 .map_batches(lambda df: df.rename(
+                     columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas"))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(cust, opartials, on="c_custkey",
+                       left_cols=["c_mktsegment"],
+                       right_cols=["n_orders", "total_spend"], how="left")
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            n_customers=1,
+            no_order=(df["n_orders"].isna()).astype("int64"),
+            n_orders=df["n_orders"].fillna(0.0),
+            total_spend=df["total_spend"].fillna(0.0))
+        return (df.groupby("c_mktsegment", as_index=False)
+                [["n_customers", "no_order", "n_orders", "total_spend"]]
+                .sum())
+
+    out = (joined.map_batches(seg_partial, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("no_order", alias_name="n_zero_order"),
+                      Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_spend", alias_name="total_spend"))
+           .to_pandas())
+    for c in ("n_customers", "n_zero_order", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment", ignore_index=True)
+
+
 FUNNEL_STEPS = ["click", "view", "purchase"]
 FUNNEL_WINDOW_HOURS = 24
 
