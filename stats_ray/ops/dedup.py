@@ -421,6 +421,53 @@ def _bloom_positions(keys, n_bits: int = _BLOOM_BITS) -> np.ndarray:
     return out
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain constant mix), vectorized."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions_int(keys: np.ndarray, n_bits: int) -> np.ndarray:
+    """Vectorized k positions per INTEGER key (no per-row hashlib): two
+    independent splitmix64 mixes drive the standard double-hash scheme."""
+    k = keys.astype(np.uint64)
+    h1 = _mix64(k)
+    h2 = _mix64(k ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    j = np.arange(_BLOOM_HASHES, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(n_bits)
+    return pos.astype(np.int64)
+
+
+def bloom_build_int(ds: Dataset, key_col: str,
+                    n_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """bloom_build for integer key columns — fully vectorized per batch
+    (the string variant below pays a per-row hashlib call)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        pos = _bloom_positions_int(df[key_col].to_numpy(), n_bits)
+        np.bitwise_or.at(bits, pos.ravel() // 8,
+                         np.uint8(1) << (pos.ravel() % 8).astype(np.uint8))
+        return pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+    for b in parts["bitmap"]:
+        bitmap |= np.frombuffer(b, dtype=np.uint8)
+    return bitmap
+
+
+def bloom_maybe_contains_int(bitmap: np.ndarray, keys: np.ndarray
+                             ) -> np.ndarray:
+    n_bits = len(bitmap) * 8
+    pos = _bloom_positions_int(np.asarray(keys), n_bits)
+    hit = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+    return hit.all(axis=1).astype(bool)
+
+
 def bloom_build(ds: Dataset, key_col: str,
                 n_bits: int = _BLOOM_BITS) -> np.ndarray:
     """Mergeable Bloom filter over a key column: each batch sets its bits

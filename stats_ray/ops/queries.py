@@ -170,6 +170,23 @@ FROM keyed GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_orders_building_segment(sf_dir: str):
+    from .relational import orders_building_segment
+    df = orders_building_segment(sf_dir)
+    return _r4(df, ["total_price"])
+
+
+_SQL_ORDERS_BUILDING_SEGMENT = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 4) AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_events_daily(sf_dir: str):
     from .relational import events_daily
     df = _pd(events_daily(sf_dir))
@@ -997,6 +1014,7 @@ QUERIES = {
     "customer_order_counts": _q_customer_order_counts,
     "doc_lm_perplexity": _q_lm_perplexity,
     "doc_export_shards": _q_export_shards,
+    "orders_building_segment": _q_orders_building_segment,
     "events_daily": _q_events_daily,
     "events_user_stats": _q_events_users,
     "events_sessionize": _q_events_sessions,
@@ -1053,6 +1071,7 @@ ORACLES = {
     "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
     "doc_lm_perplexity": _SQL_LM_PERPLEXITY,
     "doc_export_shards": _SQL_EXPORT_SHARDS,
+    "orders_building_segment": _SQL_ORDERS_BUILDING_SEGMENT,
     "events_daily": _SQL_EVENTS_DAILY,
     "events_user_stats": _SQL_EVENTS_USERS,
     "events_sessionize": _SQL_EVENTS_SESSIONS,
