@@ -254,12 +254,12 @@ def _q_player_wins(sf_dir: str):
         out = df.groupby(["format", "player"], as_index=False, sort=False).sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (parsed.map_batches(explode, batch_format="pyarrow")
-            .groupby(["format", "player"])
-            .aggregate(Sum("wins", alias_name="wins"),
-                       Sum("losses", alias_name="losses"),
-                       Sum("ties", alias_name="ties"))
-            .to_pandas())
+    from stats_ray.exchange import bucketed_agg
+    return bucketed_agg(
+        parsed.map_batches(explode, batch_format="pyarrow"),
+        ["format", "player"],
+        {"wins": ("wins", "sum"), "losses": ("losses", "sum"),
+         "ties": ("ties", "sum")}).to_pandas()
 
 
 def _q_top_teams(sf_dir: str):
@@ -270,7 +270,6 @@ def _q_top_teams(sf_dir: str):
     Scale shape: groupby-max on the team key, then per-block top-20 so the
     driver merges <= 20 x blocks candidate rows instead of sorting every
     distinct team globally."""
-    from ray.data.aggregate import Max
     parsed = _parsed(sf_dir)
 
     def explode(t):
@@ -301,9 +300,10 @@ def _q_top_teams(sf_dir: str):
                             "team_key": keys["part"], "rating": rating})
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    agg = (parsed.map_batches(explode, batch_format="pyarrow")
-           .groupby(["format", "team_key"])
-           .aggregate(Max("rating", alias_name="rating")))
+    from stats_ray.exchange import bucketed_agg
+    agg = bucketed_agg(
+        parsed.map_batches(explode, batch_format="pyarrow"),
+        ["format", "team_key"], {"rating": ("rating", "max")})
 
     def block_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["rating", "format", "team_key"],

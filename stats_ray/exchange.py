@@ -1,0 +1,110 @@
+"""Bucketed hash exchange: the repo's standard high-cardinality groupby.
+
+Ray Data's native ``groupby(keys)`` sort-shuffles every row on the full key
+tuple and then pays a fixed per-group overhead (~0.2-4 ms each for
+``aggregate()`` / ``map_groups()``).  Fine for dozens of groups; pathological
+for the 10k-1M+ key cardinalities of token counts, per-user rollups, pair
+dedup and species matrices (measured: 23.8 s for a native (string,int)-keyed
+aggregate over 58k rows vs 0.4 s for this pattern — 60x).
+
+Pattern: append ONE small int column ``bucket = hash(keys) % nbuckets``,
+shuffle on that alone, and run the real keyed aggregation as a vectorized
+pandas groupby inside each bucket.  Every group is complete within its bucket
+(same keys => same hash => same bucket), per-task memory is bounded by
+``nbuckets``, and the exchange sorts a single int32 instead of wide string
+tuples.  Skewed KEYS spread uniformly under the hash; a single pathological
+group (one key holding most rows) would need salting + a second combine,
+which callers with non-additive kernels must opt into themselves.
+
+This generalizes `stages/aggregate.py:_hash_grouped` (the battle path's
+fused exchange) for reuse across ops/; that module keeps its wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def append_bucket(t: pa.Table, keys: list[str], nbuckets: int,
+                  col: str = "bucket") -> pa.Table:
+    """Append an int32 hash-bucket column derived from ``keys``."""
+    h = np.zeros(len(t), dtype=np.uint64)
+    for kcol in keys:
+        arr = t[kcol].to_numpy(zero_copy_only=False)
+        h = h * np.uint64(1000003) + pd.util.hash_array(arr)
+    bucket = (h % np.uint64(nbuckets)).astype(np.int32)
+    return t.append_column(col, pa.array(bucket))
+
+
+def _stable_sort(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical row order before an FP reduction: batch composition follows
+    block ARRIVAL order (scheduling-dependent); summing in a different order
+    shifts float results by an ulp. One deterministic row-hash argsort makes
+    the reduction a pure function of the data."""
+    order = np.argsort(
+        pd.util.hash_pandas_object(df, index=False).to_numpy(), kind="stable")
+    return df.iloc[order]
+
+
+def bucketed_group_map(ds: Dataset, keys: list[str],
+                       fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
+                       *, nbuckets: int = 64,
+                       stable_order: bool = False) -> Dataset:
+    """One int-keyed exchange + a vectorized per-bucket kernel.
+
+    ``fn`` receives a pandas DataFrame holding ALL rows of every key-group
+    whose hash lands in the bucket (the bucket column already dropped) and
+    must itself be group-aware — i.e. do ``df.groupby(keys)`` internally,
+    vectorized over the whole bucket. This replaces per-group
+    ``map_groups`` kernels at high cardinality."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return append_bucket(t, keys, nbuckets)
+
+    def run(df: pd.DataFrame):
+        df = df.drop(columns="bucket")
+        if stable_order:
+            df = _stable_sort(df)
+        out = fn(df)
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False) \
+                .replace_schema_metadata(None)
+        return out
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket").map_groups(run, batch_format="pandas"))
+
+
+def bucketed_agg(ds: Dataset, keys: list[str],
+                 spec: dict[str, tuple[str, str]] | str = "sum",
+                 *, nbuckets: int = 64) -> Dataset:
+    """Keyed aggregation via the bucket exchange.
+
+    ``spec`` is either a plain reduction name applied to every non-key
+    column ("sum" / "max" / "min" / "count"), or a pandas named-agg dict
+    ``{out_col: (in_col, how)}``. Sums are made deterministic with the
+    row-hash presort (see _stable_sort)."""
+
+    if isinstance(spec, str):
+        how = spec
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(keys, as_index=False, sort=False)
+            return getattr(g, how)()
+
+        needs_stable = how in ("sum", "mean")
+    else:
+        named = dict(spec)
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(keys, as_index=False, sort=False).agg(**named)
+
+        needs_stable = any(h in ("sum", "mean") for _, h in named.values())
+
+    return bucketed_group_map(ds, keys, agg, nbuckets=nbuckets,
+                              stable_order=needs_stable)

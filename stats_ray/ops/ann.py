@@ -17,6 +17,8 @@ import ray
 import ray.data
 from ray.data import Dataset
 
+from ..exchange import bucketed_group_map
+
 
 def read_embeddings(sf_dir: str, columns=None) -> Dataset:
     from .io import read_table
@@ -223,10 +225,16 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
             g["vec_id"].to_numpy(), np.stack(g["embedding"].to_numpy()),
             threshold, all_pairs_cap)
 
-    pairs = coded.groupby(["band", "code"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    pairs = pairs.groupby(["id1", "id2"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    def all_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [bucket_pairs(g)
+                 for _, g in df.groupby(["band", "code"], sort=False)]
+        return (pd.concat(parts, ignore_index=True) if parts
+                else bucket_pairs(df))
+
+    pairs = bucketed_group_map(coded, ["band", "code"], all_buckets)
+    pairs = bucketed_group_map(
+        pairs, ["id1", "id2"],
+        lambda df: df.drop_duplicates(["id1", "id2"]))
     out = pairs.to_pandas()
     if out.empty:
         return pd.DataFrame({"id1": pd.Series(dtype="int64"),
@@ -531,10 +539,9 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
     # same pair can surface from two shared probe clusters: distributed
     # distinct on the pair key (self-pairs from tiling excluded by k=1 triu
     # only within one cluster row set, so drop id1==id2 too)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["id1"] != g["id2"]]
-        return g.iloc[:1][["id1", "id2", "sim"]]
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["id1"] != df["id2"]]
+        return df.drop_duplicates(["id1", "id2"])[["id1", "id2", "sim"]]
 
-    out = (pairs.groupby(["id1", "id2"])
-           .map_groups(first, batch_format="pandas").to_pandas())
+    out = bucketed_group_map(pairs, ["id1", "id2"], dedup_pairs).to_pandas()
     return (out.sort_values(["id1", "id2"]).reset_index(drop=True))

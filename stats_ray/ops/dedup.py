@@ -23,25 +23,32 @@ import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
+from ..exchange import bucketed_agg, bucketed_group_map
+
 from .text import read_documents
 
 # ---------------------------------------------------------------------------
 # exact dedup
 
 def exact_dedup(sf_dir: str) -> Dataset:
-    """(md5, keep_doc_id = min doc_id, n copies) per distinct content."""
-    from ray.data.aggregate import Count, Min
+    """(md5, keep_doc_id = min doc_id, n copies) per distinct content.
+
+    md5 cardinality ~= corpus size, so the finish goes through the bucketed
+    exchange (per-batch partials first — duplicate-heavy batches shrink
+    before the shuffle)."""
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "md5": df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()),
-        })
+        h = df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        return (pd.DataFrame({"md5": h, "keep_doc_id": df["doc_id"],
+                              "n": np.int64(1)})
+                .groupby("md5", as_index=False)
+                .agg(keep_doc_id=("keep_doc_id", "min"), n=("n", "sum")))
 
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         hash_batch, batch_format="pandas")
-    return ds.groupby("md5").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n"))
+    return bucketed_agg(ds, ["md5"],
+                        {"keep_doc_id": ("keep_doc_id", "min"),
+                         "n": ("n", "sum")})
 
 
 # ---------------------------------------------------------------------------
@@ -179,21 +186,26 @@ def _attach_by_key(pairs: Dataset, sigs: Dataset, key_col: str,
     tagged = pairs.map_batches(tag_pairs, batch_format="pandas").union(
         sigs.map_batches(tag_sigs, batch_format="pandas"))
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        sig_rows = g[g["is_sig_"] == 1]
-        pair_rows = g[g["is_sig_"] == 0]
-        if sig_rows.empty or pair_rows.empty:
-            pair_rows = pair_rows.iloc[0:0]
-        sig = sig_rows["sig_"].iloc[0] if len(pair_rows) else b""
+    def merge(df: pd.DataFrame) -> pa.Table:
+        # vectorized over every key in the bucket: sig lookup via a Series
+        # map, pairs whose key has no sig drop (the reference join
+        # semantics) — no per-key frames
+        sig_rows = df[df["is_sig_"] == 1]
+        pair_rows = df[df["is_sig_"] == 0]
+        lut = pd.Series(sig_rows["sig_"].to_numpy(),
+                        index=sig_rows["key_"].to_numpy())
+        lut = lut[~lut.index.duplicated()]
+        sig = pair_rows["key_"].map(lut)
+        pair_rows = pair_rows[sig.notna()]
         arrs = {"id1": pair_rows["id1"].to_numpy(dtype=np.int64),
                 "id2": pair_rows["id2"].to_numpy(dtype=np.int64),
-                out_col: [sig] * len(pair_rows)}
+                out_col: list(sig[sig.notna()])}
         for c in carry:
             arrs[c] = list(pair_rows[c])
         return pa.table({f.name: pa.array(arrs[f.name], type=f.type)
                          for f in out_schema})
 
-    return tagged.groupby("key_").map_groups(merge, batch_format="pandas")
+    return bucketed_group_map(tagged, ["key_"], merge)
 
 
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
@@ -220,11 +232,20 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id1": ids[a], "id2": ids[b]})
 
-    cands = (banded.groupby(["band", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    def all_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        # per-(band,band_hash) pairing runs as a LOCAL pandas groupby inside
+        # the one bucket exchange — Ray-level per-group dispatch at LSH
+        # bucket cardinality (~n_docs*bands) is the cost being avoided
+        parts = [bucket_pairs(g)
+                 for _, g in df.groupby(["band", "band_hash"], sort=False)]
+        return (pd.concat(parts, ignore_index=True) if parts
+                else bucket_pairs(df))
+
+    cands = bucketed_group_map(banded, ["band", "band_hash"], all_buckets)
     # distributed pair dedup (a pair can surface from several bands)
-    cands = cands.groupby(["id1", "id2"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    cands = bucketed_group_map(
+        cands, ["id1", "id2"],
+        lambda df: df.drop_duplicates(["id1", "id2"]))
 
     # materialized once: consumed by BOTH attach passes (re-deriving the
     # signatures per consumer would double the actor pools and recompute
@@ -345,11 +366,17 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8,
         lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
         return pd.DataFrame({"id1": lo, "id2": hi, "hamming": ham[keep]})
 
-    pairs = (exploded.groupby(["band", "value"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    def all_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [bucket_pairs(g)
+                 for _, g in df.groupby(["band", "value"], sort=False)]
+        return (pd.concat(parts, ignore_index=True) if parts
+                else bucket_pairs(df))
+
+    pairs = bucketed_group_map(exploded, ["band", "value"], all_buckets)
     # distributed dedup (a pair can match on several bands)
-    pairs = pairs.groupby(["id1", "id2"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    pairs = bucketed_group_map(
+        pairs, ["id1", "id2"],
+        lambda df: df.drop_duplicates(["id1", "id2"]))
     out = pairs.to_pandas()
     if out.empty:
         return pd.DataFrame({"id1": [], "id2": [], "hamming": []})
@@ -383,13 +410,15 @@ def incremental_dedup(sf_dir: str) -> Dataset:
             "is_new": (df["doc_id"] % 3 == 0).astype("int8"),
         })
 
-    def keep_new_only(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["is_new"] == 0).any():
-            return g.iloc[0:0][["doc_id", "md5"]]
-        return g[g["is_new"] == 1][["doc_id", "md5"]]
+    def keep_new_only(df: pd.DataFrame) -> pd.DataFrame:
+        # anti-join, vectorized across the bucket: new docs whose digest
+        # never appears on the seen side
+        seen = df.loc[df["is_new"] == 0, "md5"].unique()
+        out = df[(df["is_new"] == 1) & ~df["md5"].isin(seen)]
+        return out[["doc_id", "md5"]]
 
-    return (docs.map_batches(tag, batch_format="pandas")
-            .groupby("md5").map_groups(keep_new_only, batch_format="pandas"))
+    return bucketed_group_map(docs.map_batches(tag, batch_format="pandas"),
+                              ["md5"], keep_new_only)
 
 
 # ---------------------------------------------------------------------------
@@ -590,24 +619,29 @@ def pair_jaccard(sf_dir: str) -> Dataset:
             "words": words,
         })
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"id1": pd.Series(dtype="int64"),
-                                 "id2": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
-        g = g.sort_values("doc_id")
-        a, b = set(g["words"].iloc[0]), set(g["words"].iloc[1])
-        union = len(a | b)
-        j = len(a & b) / union if union else 1.0
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # all pairs in the bucket in one pass: sort by (pair, doc) and zip
+        # complete pairs — the set kernel is per pair, the dispatch is not
+        df = df.sort_values(["pair_id", "doc_id"])
+        sizes = df.groupby("pair_id", sort=False)["doc_id"].transform("size")
+        df = df[sizes == 2]
+        lo, hi = df.iloc[0::2], df.iloc[1::2]
         f = 1e6
-        return pd.DataFrame({
-            "id1": [int(g["doc_id"].iloc[0])],
-            "id2": [int(g["doc_id"].iloc[1])],
-            "jaccard": [np.sign(j) * np.floor(abs(j) * f + 0.5) / f],
-        })
+        ids1, ids2, jac = [], [], []
+        for d1, w1, d2, w2 in zip(lo["doc_id"], lo["words"],
+                                  hi["doc_id"], hi["words"]):
+            a, b = set(w1), set(w2)
+            union = len(a | b)
+            j = len(a & b) / union if union else 1.0
+            ids1.append(int(d1))
+            ids2.append(int(d2))
+            jac.append(np.sign(j) * np.floor(abs(j) * f + 0.5) / f)
+        return pd.DataFrame({"id1": pd.Series(ids1, dtype="int64"),
+                             "id2": pd.Series(ids2, dtype="int64"),
+                             "jaccard": pd.Series(jac, dtype="float64")})
 
-    return (docs.map_batches(tag, batch_format="pandas")
-            .groupby("pair_id").map_groups(score, batch_format="pandas"))
+    return bucketed_group_map(docs.map_batches(tag, batch_format="pandas"),
+                              ["pair_id"], score)
 
 
 # ---------------------------------------------------------------------------
@@ -674,31 +708,42 @@ def dup_spans(sf_dir: str, k: int = 5, hash_grams: bool = False) -> Dataset:
     exactness; hash_grams=True is the production shape (64-bit hashed
     keys — see `_gram_windows`).
     """
-    def keep_cross_doc(g: pd.DataFrame) -> pd.DataFrame:
-        if g["doc_id"].nunique() < 2:
-            return g.iloc[:0][["doc_id", "pos"]]
-        return g[["doc_id", "pos"]]
+    def keep_cross_doc(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every gram in the bucket: a window is duplicated
+        # iff its gram spans >= 2 distinct docs
+        nun = df.groupby("gram", sort=False)["doc_id"].transform("nunique")
+        return df.loc[nun >= 2, ["doc_id", "pos"]]
 
-    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
-        pos = np.unique(g["pos"].to_numpy(dtype=np.int64))
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        # islands across ALL docs in the bucket in one diff/cumsum scan:
+        # an island breaks on a doc boundary or a position gap > k-1
+        df = df.drop_duplicates(["doc_id", "pos"]) \
+            .sort_values(["doc_id", "pos"])
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        pos = df["pos"].to_numpy(dtype=np.int64)
+        if not len(pos):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "span_start": pd.Series(dtype="int64"),
+                                 "span_end": pd.Series(dtype="int64"),
+                                 "n_words": pd.Series(dtype="int64")})
         brk = np.empty(len(pos), dtype=bool)
         brk[0] = True
-        brk[1:] = (pos[1:] - pos[:-1]) > (k - 1)
+        brk[1:] = (did[1:] != did[:-1]) | ((pos[1:] - pos[:-1]) > (k - 1))
         island = np.cumsum(brk) - 1
-        gb = pd.DataFrame({"island": island, "pos": pos}).groupby("island")["pos"]
+        gb = pd.DataFrame({"island": island, "pos": pos}) \
+            .groupby("island", sort=False)["pos"]
         start = gb.min().to_numpy(dtype=np.int64)
         end = gb.max().to_numpy(dtype=np.int64) + (k - 1)
         return pd.DataFrame({
-            "doc_id": np.full(len(start), int(g["doc_id"].iloc[0]),
-                              dtype=np.int64),
+            "doc_id": did[brk],
             "span_start": start,
             "span_end": end,
             "n_words": end - start + 1,
         })
 
-    return (_gram_windows(sf_dir, k, hash_grams)
-            .groupby("gram").map_groups(keep_cross_doc, batch_format="pandas")
-            .groupby("doc_id").map_groups(merge_spans, batch_format="pandas"))
+    windows = _gram_windows(sf_dir, k, hash_grams)
+    dup_windows = bucketed_group_map(windows, ["gram"], keep_cross_doc)
+    return bucketed_group_map(dup_windows, ["doc_id"], merge_spans)
 
 
 # ---------------------------------------------------------------------------
@@ -788,15 +833,24 @@ def dup_clusters(sf_dir: str, k: int = 5, hash_grams: bool = False) -> Dataset:
     resolved fully distributed with `propagate_min_labels`. Output:
     (doc_id, keep_doc_id = component min) for every doc in >=1 cross-doc
     gram."""
-    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(g["doc_id"].to_numpy(np.int64))
-        if len(docs) < 2:
+    def star_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # every gram in the bucket in one scan: connect each gram's min doc
+        # to its other docs (a star preserves the component)
+        df = (df.drop_duplicates(["gram", "doc_id"])
+              .sort_values(["gram", "doc_id"]))
+        g = df["gram"].to_numpy()
+        d = df["doc_id"].to_numpy(np.int64)
+        if not len(g):
             return pd.DataFrame({"id1": pd.Series(dtype="int64"),
                                  "id2": pd.Series(dtype="int64")})
-        return pd.DataFrame({"id1": np.full(len(docs) - 1, docs[0],
-                                            dtype=np.int64),
-                             "id2": docs[1:]})
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = g[1:] != g[:-1]
+        grp = np.cumsum(first) - 1
+        head = d[first]
+        out = pd.DataFrame({"id1": head[grp[~first]], "id2": d[~first]})
+        return out.drop_duplicates()
 
-    pairs = (_gram_windows(sf_dir, k, hash_grams)
-             .groupby("gram").map_groups(star_edges, batch_format="pandas"))
+    pairs = bucketed_group_map(_gram_windows(sf_dir, k, hash_grams),
+                               ["gram"], star_edges)
     return propagate_min_labels(pairs)

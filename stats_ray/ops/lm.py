@@ -63,11 +63,10 @@ def unigram_counts(sf_dir: str) -> pd.DataFrame:
         })
         return part.groupby("token", as_index=False).sum()
 
-    counts = (docs.map_batches(partial, batch_format="pandas")
-              .groupby("token")
-              .aggregate(Sum("c_b", alias_name="c_b"),
-                         Sum("c_t", alias_name="c_t"))
-              .to_pandas())
+    from ..exchange import bucketed_agg
+    counts = bucketed_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["token"], {"c_b": ("c_b", "sum"), "c_t": ("c_t", "sum")}).to_pandas()
     counts["c_b"] = counts["c_b"].astype("int64")
     counts["c_t"] = counts["c_t"].astype("int64")
     return counts

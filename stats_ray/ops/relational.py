@@ -14,6 +14,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 
+from ..exchange import bucketed_agg, bucketed_group_map
 from .io import read_table as _t  # noqa: E402  (shared metadata-stripping read)
 
 
@@ -100,19 +101,30 @@ def events_daily(sf_dir: str) -> Dataset:
 
 
 def events_user_stats(sf_dir: str) -> Dataset:
-    """Exact distinct users per event_type (two-level dedup, A9 shape)."""
+    """Exact distinct users per event_type (two-level dedup, A9 shape).
+
+    Scale shape: per-batch partial (event_type,user) counts, ONE
+    user-bucketed exchange finishing the dedup and rolling each bucket up
+    to (event_type, n_users, n_events) partials, then a tiny final combine
+    over nbuckets*n_types rows — never a (type,user)-cardinality groupby."""
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
-    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="n_events"))
 
-    def roll(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": [df["event_type"].iloc[0]],
-            "n_users": [len(df)],
-            "n_events": [int(df["n_events"].sum())],
-        })
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "user_id"], as_index=False).agg(
+            n_events=("user_id", "size"))
 
-    return per_user.groupby("event_type").map_groups(roll, batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pu = df.groupby(["event_type", "user_id"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+        return pu.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"), n_events=("n_events", "sum"))
+
+    parts = bucketed_group_map(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], per_bucket, nbuckets=64)
+    return bucketed_agg(parts, ["event_type"],
+                        {"n_users": ("n_users", "sum"),
+                         "n_events": ("n_events", "sum")}, nbuckets=8)
 
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
@@ -124,18 +136,25 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
     Returns (user_id, session_id, n_events, start_ts, end_ts, sum_value)."""
     ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum().astype("int64")
-        out = (g.assign(session_id=sid)
-               .groupby("session_id", as_index=False)
-               .agg(n_events=("value", "size"), start_ts=("ts", "min"),
-                    end_ts=("ts", "max"), sum_value=("value", "sum")))
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL users in the bucket: one sort, boundary-aware
+        # gap scan, one grouped agg — no per-user pandas frames
+        df = df.sort_values(["user_id", "ts"], kind="mergesort") \
+            .reset_index(drop=True)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        gsid = (new_user | gap).cumsum()
+        out = (df.assign(gsid=gsid)
+               .groupby("gsid", as_index=False)
+               .agg(user_id=("user_id", "first"), n_events=("value", "size"),
+                    start_ts=("ts", "min"), end_ts=("ts", "max"),
+                    sum_value=("value", "sum")))
+        out["session_id"] = out.groupby("user_id", sort=False).cumcount() \
+            .astype("int64")
+        return out[["user_id", "session_id", "n_events", "start_ts",
+                    "end_ts", "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_group_map(ds, ["user_id"], sessions, nbuckets=64)
 
 
 QUANTITY_BANDS = [(0.0, 10.0), (10.0, 20.0), (20.0, 30.0),
@@ -215,21 +234,23 @@ def top_parts_per_nation(sf_dir: str, k: int = 3) -> pd.DataFrame:
             })
             return out.groupby(["n_name", "l_partkey"], as_index=False).sum()
 
-    rolled = (li.map_batches(Partial, batch_format="pandas",
-                             concurrency=(1, 4))
-              .groupby(["n_name", "l_partkey"])
-              .aggregate(Sum("revenue", alias_name="revenue")))
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["revenue", "l_partkey"],
-                          ascending=[False, True]).head(k)
+    def rolled_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # complete nations per bucket: roll up part revenue, then top-k per
+        # nation, all inside the one exchange
+        g = df.groupby(["n_name", "l_partkey"], as_index=False).sum()
+        g = (g.sort_values(["n_name", "revenue", "l_partkey"],
+                           ascending=[True, False, True])
+             .groupby("n_name", sort=False).head(k))
         f = 1e4
         r = g["revenue"].to_numpy()
         g = g.copy()
         g["revenue"] = np.sign(r) * np.floor(np.abs(r) * f + 0.5) / f
         return g
 
-    out = (rolled.groupby("n_name").map_groups(topk, batch_format="pandas")
+    out = (bucketed_group_map(
+               li.map_batches(Partial, batch_format="pandas",
+                              concurrency=(1, 4)),
+               ["n_name"], rolled_topk, nbuckets=32, stable_order=True)
            .to_pandas().sort_values(["n_name", "revenue", "l_partkey"],
                                     ascending=[True, False, True])
            .reset_index(drop=True))
@@ -348,10 +369,10 @@ def events_retention(sf_dir: str) -> Dataset:
         return part.groupby(["cohort_day", "day_offset"],
                             as_index=False).sum()
 
-    return (ds.map_batches(distinct_days, batch_format="pandas")
-            .groupby("b_").map_groups(offsets, batch_format="pandas")
-            .groupby(["cohort_day", "day_offset"])
-            .aggregate(Sum("n_users", alias_name="n_users")))
+    per_bucket = (ds.map_batches(distinct_days, batch_format="pandas")
+                  .groupby("b_").map_groups(offsets, batch_format="pandas"))
+    return bucketed_agg(per_bucket, ["cohort_day", "day_offset"],
+                        {"n_users": ("n_users", "sum")}, nbuckets=16)
 
 
 # --- generic large x large equi-join -----------------------------------------
@@ -502,10 +523,11 @@ def customer_order_counts(sf_dir: str) -> pd.DataFrame:
                 .agg(n_orders=("n_orders", "sum"),
                      total_spend=("o_totalprice", "sum")))
 
-    opartials = (orders.map_batches(opart, batch_format="pandas")
-                 .groupby("o_custkey")
-                 .aggregate(Sum("n_orders", alias_name="n_orders"),
-                            Sum("total_spend", alias_name="total_spend"))
+    opartials = (bucketed_agg(
+                     orders.map_batches(opart, batch_format="pandas"),
+                     ["o_custkey"],
+                     {"n_orders": ("n_orders", "sum"),
+                      "total_spend": ("total_spend", "sum")})
                  .map_batches(lambda df: df.rename(
                      columns={"o_custkey": "c_custkey"}),
                      batch_format="pandas"))

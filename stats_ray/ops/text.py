@@ -15,6 +15,8 @@ import pandas as pd
 import ray.data
 from ray.data import Dataset
 
+from ..exchange import bucketed_agg, bucketed_group_map
+
 _WS = re.compile(r"\S+")
 STOPWORDS = frozenset({"the", "a", "an", "and", "of", "to", "in", "is", "it"})
 
@@ -199,14 +201,21 @@ def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     top-k with a deterministic (cnt desc, token asc) tiebreak. The sort runs
     over distinct tokens only — shuffle volume is vocabulary-, not
     corpus-sized."""
-    from ray.data.aggregate import Sum
+    def sum_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # finish the token counts for this bucket and emit only its local
+        # top-k: the global winner is in some bucket's local top-k, so the
+        # driver-side merge sees nbuckets*k rows, never the whole vocab
+        g = df.groupby("token", as_index=False).agg(cnt=("cnt", "sum"))
+        return (g.sort_values(["cnt", "token"], ascending=[False, True])
+                .head(k))
 
-    counts = (read_documents(sf_dir, ["text"])
-              .map_batches(VocabCount, batch_format="pandas",
-                           concurrency=(1, 4))
-              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
-    top = (counts.sort(["cnt", "token"], descending=[True, False])
-           .limit(k).to_pandas())
+    counts = bucketed_group_map(
+        read_documents(sf_dir, ["text"])
+        .map_batches(VocabCount, batch_format="pandas", concurrency=(1, 4)),
+        ["token"], sum_topk)
+    top = (counts.to_pandas()
+           .sort_values(["cnt", "token"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
     top["cnt"] = top["cnt"].astype("int64")
     return top[["token", "cnt"]]
 
@@ -268,9 +277,9 @@ def tfidf(sf_dir: str) -> pd.DataFrame:
         return (df.groupby("token", as_index=False)
                 .agg(dfreq=("doc_id", "size")))
 
-    dfreq = (tf.map_batches(df_partial, batch_format="pandas")
-             .groupby("token").aggregate(Sum("dfreq", alias_name="dfreq"))
-             .to_pandas())  # vocabulary-sized
+    dfreq = bucketed_agg(
+        tf.map_batches(df_partial, batch_format="pandas"),
+        ["token"], {"dfreq": ("dfreq", "sum")}).to_pandas()  # vocab-sized
     idf = dict(zip(dfreq["token"],
                    np.log(float(n_docs) / dfreq["dfreq"].to_numpy())))
     idf_ref = ray.put(idf)

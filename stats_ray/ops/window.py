@@ -20,6 +20,8 @@ import pandas as pd
 import ray.data
 from ray.data import Dataset
 
+from ..exchange import bucketed_agg, bucketed_group_map
+
 _EVENT_COLS = ["event_id", "user_id", "ts", "event_type", "value"]
 
 
@@ -65,16 +67,18 @@ def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts: str,
     tagged = left.map_batches(tag_left, batch_format="pandas").union(
         right.map_batches(tag_right, batch_format="pandas"))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side_"] == 0][[key, ts] + lc].sort_values(ts, kind="stable")
-        r = (g[g["side_"] == 1][[ts] + [c + suffix for c in rc]]
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof(by=key) handles EVERY key in the bucket in one
+        # vectorized pass — both sides sorted by ts as it requires
+        l = df[df["side_"] == 0][[key, ts] + lc].sort_values(ts, kind="stable")
+        r = (df[df["side_"] == 1][[key, ts] + [c + suffix for c in rc]]
              .sort_values(ts, kind="stable"))
         if l.empty:
             return l.assign(**{c + suffix: np.nan for c in rc}).iloc[0:0]
-        return pd.merge_asof(l, r, on=ts, direction="backward",
+        return pd.merge_asof(l, r, on=ts, by=key, direction="backward",
                              allow_exact_matches=True)
 
-    return tagged.groupby(key).map_groups(merge, batch_format="pandas")
+    return bucketed_group_map(tagged, [key], merge)
 
 
 def events_asof_prior_view(sf_dir: str) -> pd.DataFrame:
@@ -84,13 +88,13 @@ def events_asof_prior_view(sf_dir: str) -> pd.DataFrame:
     Views are deduped to one per (user, ts) (max event_id) so the as-of
     pick is deterministic. Missing matches encode as -1 (int columns hash
     stably across engines, unlike nullable doubles)."""
-    from ray.data.aggregate import Max
-
     ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'")
-    views = (ev.filter(expr="event_type == 'view'")
-             .groupby(["user_id", "ts"])
-             .aggregate(Max("event_id", alias_name="view_id")))
+    views = bucketed_agg(
+        ev.filter(expr="event_type == 'view'")
+        .map_batches(lambda df: df[["user_id", "ts", "event_id"]],
+                     batch_format="pandas"),
+        ["user_id", "ts"], {"view_id": ("event_id", "max")})
 
     def add_view_ts(df: pd.DataFrame) -> pd.DataFrame:
         # merge_asof keeps only the join ts; ride the view's own ts along
@@ -124,13 +128,20 @@ def events_asof_prior_view(sf_dir: str) -> pd.DataFrame:
 
 def cumulative_per_key(ds: Dataset, key: str, order: list[str],
                        fn) -> Dataset:
-    """Running-window scaffold: hash-partition on `key`, stable sort within
-    the group by `order`, apply the vectorized cumulative kernel `fn`."""
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="stable").reset_index(drop=True)
-        return fn(g)
+    """Running-window scaffold: ONE bucketed hash exchange on `key`, stable
+    sort by (key, *order) inside the bucket, then the per-key kernel runs as
+    a LOCAL pandas groupby-apply — Ray-level per-group dispatch at user
+    cardinality is what this avoids. Kernels that vectorize across key
+    boundaries (grouped cumsum/cumcount) should bypass this scaffold and
+    write a bucket-level kernel directly (see events_cum_user)."""
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order, kind="stable")
+        parts = [fn(g.reset_index(drop=True))
+                 for _, g in df.groupby(key, sort=False)]
+        return (pd.concat(parts, ignore_index=True) if parts
+                else fn(df.reset_index(drop=True)))
 
-    return ds.groupby(key).map_groups(run, batch_format="pandas")
+    return bucketed_group_map(ds, [key], run)
 
 
 def events_cum_user(sf_dir: str) -> pd.DataFrame:
@@ -139,16 +150,21 @@ def events_cum_user(sf_dir: str) -> pd.DataFrame:
     across engines) ordered by (ts, event_id)."""
     ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(g["value"].to_numpy() * 100.0).astype("int64")
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # grouped cumsum/cumcount vectorize across every user in the bucket
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = pd.Series(
+            np.round(df["value"].to_numpy() * 100.0).astype("int64"),
+            index=df.index)
+        g = df.groupby("user_id", sort=False)
         return pd.DataFrame({
-            "event_id": g["event_id"].astype("int64"),
-            "user_id": g["user_id"].astype("int64"),
-            "cum_n": np.arange(1, len(g) + 1, dtype="int64"),
-            "cum_cents": np.cumsum(cents),
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "cum_n": (g.cumcount() + 1).astype("int64"),
+            "cum_cents": cents.groupby(df["user_id"], sort=False).cumsum(),
         })
 
-    out = cumulative_per_key(ev, "user_id", ["ts", "event_id"], kernel)
+    out = bucketed_group_map(ev, ["user_id"], kernel)
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 

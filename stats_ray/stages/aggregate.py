@@ -31,6 +31,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from ..dex import cutoffs_for
+from ..exchange import bucketed_group_map
 
 # inverse-outcome lookup (stats.ts:474-483)
 INVERSE_OUTCOMES = np.array([1, 0, 2, 4, 3, 5, 7, 6, 9, 8, 11, 10, 12], dtype=np.int8)
@@ -207,8 +208,7 @@ _USAGE_SUMS = (["raw_count", "saved_count", "usage_raw", "usage_real",
 def usage_stats(parsed: Dataset) -> Dataset:
     part = parsed.map_batches(_explode_usage, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    agg = part.groupby(["format", "species"]).aggregate(
-        *[Sum(m, alias_name=m) for m in _USAGE_SUMS])
+    agg = _hash_grouped(part, ["format", "species"])
     return agg.map_batches(
         _unpivot_cutoffs(["format", "species"],
                          {"raw_weight": "rw", "saved_weight": "sw",
@@ -297,9 +297,7 @@ def _explode_leads(t: pa.Table) -> pa.Table:
 def lead_stats(parsed: Dataset) -> Dataset:
     part = parsed.map_batches(_explode_leads, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    agg = part.groupby(["format", "species"]).aggregate(
-        Sum("lead_raw", alias_name="lead_raw"),
-        *[Sum(m, alias_name=m) for m in _W])
+    agg = _hash_grouped(part, ["format", "species"])
 
     def finish(t: pa.Table) -> pa.Table:
         base = _unpivot_cutoffs(["format", "species"], {"lead_weighted": "w"},
@@ -398,9 +396,7 @@ def checks_counters_stats(parsed: Dataset, min_n: float = 20.0) -> Dataset:
                        "n", "koed", "switched"]])
 
     part = enc.map_batches(pre, batch_format="pyarrow")
-    agg = part.groupby(["format", "cutoff", "species", "opponent"]).aggregate(
-        Sum("n", alias_name="n"), Sum("koed", alias_name="koed"),
-        Sum("switched", alias_name="switched"))
+    agg = _hash_grouped(part, ["format", "cutoff", "species", "opponent"])
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -578,8 +574,9 @@ def teammate_empty_lastwriter(parsed: Dataset) -> Dataset:
         return df.groupby(["format", "species"], as_index=False,
                           sort=False).last()
 
-    agg = part.groupby(["format", "species"]).map_groups(
-        _last, batch_format="pandas")
+    # _last is already bucket-aware (global ord sort + grouped last), so it
+    # runs unchanged over the int-bucket exchange
+    agg = bucketed_group_map(part, ["format", "species"], _last)
     return agg.map_batches(
         _unpivot_cutoffs(["format", "species"], {"weight": "w"}),
         batch_format="pyarrow")
@@ -709,15 +706,14 @@ def _per_player_max(parsed: Dataset) -> Dataset:
 
 def _rollup_unique(per_player: Dataset) -> Dataset:
     def _count(df: pd.DataFrame) -> pd.DataFrame:
-        row = {"format": [df["format"].iloc[0]],
-               "species": [df["species"].iloc[0]],
-               "n_players": [len(df)], "real_players": [int(df["r"].sum())]}
+        named = {"n_players": ("player", "size"),
+                 "real_players": ("r", "sum")}
         for k in _CUTS:
-            row[f"sw{k}"] = [float(df[f"w{k}"].sum())]
-        return pd.DataFrame(row)
+            named[f"sw{k}"] = (f"w{k}", "sum")
+        return df.groupby(["format", "species"], as_index=False).agg(**named)
 
-    rolled = per_player.groupby(["format", "species"]).map_groups(
-        _count, batch_format="pandas")
+    rolled = bucketed_group_map(per_player, ["format", "species"], _count,
+                                stable_order=True)
     return rolled.map_batches(
         _unpivot_cutoffs(["format", "species"], {"sum_max_weight": "sw"},
                          ["n_players", "real_players"]),
@@ -925,9 +921,7 @@ def mono_usage_stats(parsed: Dataset, fmt: str = "gen9monotype") -> Dataset:
 
     part = parsed.map_batches(_explode, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
-    agg = part.groupby(["tag", "species"]).aggregate(
-        Sum("usage_raw", alias_name="usage_raw"),
-        *[Sum(f"uw{k}", alias_name=f"uw{k}") for k in _CUTS])
+    agg = _hash_grouped(part, ["tag", "species"])
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -990,8 +984,20 @@ def _rollup_viability(per_player: Dataset) -> Dataset:
             "v_p99": [vals[2]], "v_p80": [vals[3]],
         })
 
-    rolled = per_player.groupby(["format", "species"]).map_groups(
-        _viab, batch_format="pandas")
+    def _viab_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [_viab(g) for _, g in
+                 df.groupby(["format", "species"], sort=False)]
+        if parts:
+            return pd.concat(parts, ignore_index=True)
+        return pd.DataFrame({"format": pd.Series(dtype=str),
+                             "species": pd.Series(dtype=str),
+                             "v_n": pd.Series(dtype="int64"),
+                             "v_max": pd.Series(dtype="float64"),
+                             "v_p99": pd.Series(dtype="float64"),
+                             "v_p80": pd.Series(dtype="float64")})
+
+    rolled = bucketed_group_map(per_player, ["format", "species"],
+                                _viab_bucket)
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -269,10 +269,10 @@ def binary_stats_tables(db: Dataset, cutoff: float = 1630.0) -> Dataset:
         return pa.Table.from_pandas(
             out, preserve_index=False).replace_schema_metadata(None)
 
-    from ray.data.aggregate import Sum
+    from ..exchange import bucketed_agg
     part = db.map_batches(explode, batch_format="pyarrow", batch_size=4096)
-    return part.groupby(["format", "kind", "a", "b"]).aggregate(
-        Sum("weight", alias_name="weight"))
+    return bucketed_agg(part, ["format", "kind", "a", "b"],
+                        {"weight": ("weight", "sum")})
 
 
 def species_counts_from_db(db_dir: str) -> Dataset:
@@ -297,6 +297,7 @@ def species_counts_from_db(db_dir: str) -> Dataset:
             df.groupby(["format", "species"], as_index=False, sort=False).sum(),
             preserve_index=False).replace_schema_metadata(None)
 
-    from ray.data.aggregate import Sum
-    return (decoded.map_batches(explode, batch_format="pyarrow")
-            .groupby(["format", "species"]).aggregate(Sum("n", alias_name="n")))
+    from ..exchange import bucketed_agg
+    return bucketed_agg(
+        decoded.map_batches(explode, batch_format="pyarrow"),
+        ["format", "species"], {"n": ("n", "sum")})
