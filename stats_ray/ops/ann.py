@@ -404,65 +404,65 @@ def distributed_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
     rng = np.random.RandomState(seed)
     cent = smat[rng.choice(len(smat), size=min(k, len(smat)), replace=False)]
 
+    def make_partial(ref):
+        # plain task fn, NOT an actor class: a per-iteration actor pool pays
+        # pool spin-up every Lloyd round (~10x the useful work at small k);
+        # the centroids ride the object store and ray.get is a local hit
+        def partial(t: pa.Table) -> pa.Table:
+            c_mat = ray.get(ref)
+            _, mat = _to_matrix(t)
+            nm = _normalize(mat)
+            assign = np.argmax(nm @ c_mat.T, axis=1)
+            rows = {"cluster": [], "vsum": [], "n": []}
+            for c in np.unique(assign):
+                members = nm[assign == c]
+                rows["cluster"].append(int(c))
+                rows["vsum"].append(members.sum(axis=0).tobytes())
+                rows["n"].append(len(members))
+            return pa.table({
+                "cluster": pa.array(rows["cluster"], pa.int32()),
+                "vsum": pa.array(rows["vsum"], pa.binary()),
+                "n": pa.array(rows["n"], pa.int64()),
+            })
+        return partial
+
     for _ in range(iters):
         ref = ray.put(cent)
-
-        class Partial:
-            def __init__(self):
-                self.cent = ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                _, mat = _to_matrix(t)
-                nm = _normalize(mat)
-                assign = np.argmax(nm @ self.cent.T, axis=1)
-                rows = {"cluster": [], "vsum": [], "n": []}
-                for c in np.unique(assign):
-                    members = nm[assign == c]
-                    rows["cluster"].append(int(c))
-                    rows["vsum"].append(members.sum(axis=0).tobytes())
-                    rows["n"].append(len(members))
-                return pa.table({
-                    "cluster": pa.array(rows["cluster"], pa.int32()),
-                    "vsum": pa.array(rows["vsum"], pa.binary()),
-                    "n": pa.array(rows["n"], pa.int64()),
-                })
-
-        parts = (ds.map_batches(Partial, batch_format="pyarrow",
-                                concurrency=(1, 8)).to_pandas())
+        parts = (ds.map_batches(make_partial(ref), batch_format="pyarrow")
+                 .to_pandas())
         new = cent.copy()
         for c, g in parts.groupby("cluster"):
             vs = np.sum([np.frombuffer(b, dtype=np.float64)
                          for b in g["vsum"]], axis=0)
             if g["n"].sum() > 0:
                 new[c] = vs
-        cent = _normalize(new)
+        prev, cent = cent, _normalize(new)
+        if float(np.abs(cent - prev).max()) < 1e-9:   # converged: skip rounds
+            break
 
     # final assignment stats (one more pass, same partial shape)
     ref = ray.put(cent)
 
-    class Stats:
-        def __init__(self):
-            self.cent = ray.get(ref)
+    def stats(t: pa.Table) -> pa.Table:
+        c_mat = ray.get(ref)
+        _, mat = _to_matrix(t)
+        nm = _normalize(mat)
+        sims = nm @ c_mat.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(nm)), assign]
+        rows = {"cluster": [], "n": [], "sim_sum": []}
+        for c in np.unique(assign):
+            m = assign == c
+            rows["cluster"].append(int(c))
+            rows["n"].append(int(m.sum()))
+            rows["sim_sum"].append(float(best[m].sum()))
+        return pa.table({
+            "cluster": pa.array(rows["cluster"], pa.int32()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sim_sum": pa.array(rows["sim_sum"], pa.float64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            _, mat = _to_matrix(t)
-            nm = _normalize(mat)
-            sims = nm @ self.cent.T
-            assign = np.argmax(sims, axis=1)
-            best = sims[np.arange(len(nm)), assign]
-            rows = {"cluster": [], "n": [], "sim_sum": []}
-            for c in np.unique(assign):
-                m = assign == c
-                rows["cluster"].append(int(c))
-                rows["n"].append(int(m.sum()))
-                rows["sim_sum"].append(float(best[m].sum()))
-            return pa.table({
-                "cluster": pa.array(rows["cluster"], pa.int32()),
-                "n": pa.array(rows["n"], pa.int64()),
-                "sim_sum": pa.array(rows["sim_sum"], pa.float64()),
-            })
-
-    st = (ds.map_batches(Stats, batch_format="pyarrow", concurrency=(1, 8))
+    st = (ds.map_batches(stats, batch_format="pyarrow")
           .to_pandas().groupby("cluster", as_index=False).sum())
     st["mean_sim"] = (st["sim_sum"] / st["n"]).round(4)
     return (st[["cluster", "n", "mean_sim"]]
