@@ -26,6 +26,12 @@ from __future__ import annotations
 
 import json
 
+try:  # ~10x faster doc parse in the per-battle hot loop; stdlib fallback
+    import orjson
+    _json_loads = orjson.loads
+except ImportError:  # pragma: no cover
+    _json_loads = json.loads
+
 import numpy as np
 import pyarrow as pa
 
@@ -47,20 +53,28 @@ UNKNOWN = 12
 ROAR_MOVES = {"Roar", "Whirlwind", "Circle Throw", "Dragon Tail"}
 UTURN_MOVES = {"U-Turn", "U-turn", "Volt Switch", "Baton Pass"}
 
+# the only protocol commands the matchup state machine consumes
+# (parser.ts:118-273 switch arms)
+_MATCHUP_CMDS = {"turn", "win", "tie", "move", "-enditem", "faint",
+                 "replace", "switch", "drag"}
+
 
 class ParseError(ValueError):
     pass
 
 
 def _ts_ms(ts: str | None) -> int:
-    """'YYYY-MM-DDTHH:MM:SSZ' -> epoch ms (binary.ts:159 analogue)."""
+    """'YYYY-MM-DDTHH:MM:SSZ' -> epoch ms (binary.ts:159 analogue).
+    Fixed-format slice parse — strptime costs ~30us/call in the hot loop."""
     if not ts:
         return 0
     import datetime
     try:
-        dt = datetime.datetime.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")
-        return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
-    except ValueError:
+        dt = datetime.datetime(int(ts[0:4]), int(ts[5:7]), int(ts[8:10]),
+                               int(ts[11:13]), int(ts[14:16]), int(ts[17:19]),
+                               tzinfo=datetime.timezone.utc)
+        return int(dt.timestamp() * 1000)
+    except (ValueError, IndexError):
         return 0
 
 
@@ -227,6 +241,13 @@ def parse_battle(doc: dict, fmt: str, singles: bool, dx: GenDex | None = None,
     for raw_line in log:
         if len(raw_line) < 2 or not raw_line.startswith("|"):
             continue
+        # cheap command pre-filter: most protocol lines (poke/-damage/rules/
+        # chat) are irrelevant to the matchup state machine — skip them
+        # before paying the full per-field split+strip
+        e = raw_line.find("|", 1)
+        cmd = (raw_line[1:e] if e > 0 else raw_line[1:]).strip()
+        if cmd not in _MATCHUP_CMDS:
+            continue
         line = [s.strip() for s in raw_line.split("|")]
         cmd = line[1]
         if cmd == "turn":
@@ -355,7 +376,7 @@ class ParseBattles:
             singles = not dx.is_non_singles(fmt)
             non6v6 = dx.is_non_6v6(fmt)
             try:
-                doc = json.loads(s)
+                doc = _json_loads(s)
                 b = parse_battle(doc, fmt, singles, dx, self.legacy)
             except (ParseError, ValueError, KeyError, IndexError, TypeError) as e:
                 if self.strict:
