@@ -763,39 +763,48 @@ def unique_total_rollup(per_player: Dataset) -> Dataset:
 # aggregated output.
 
 def _explode_fused(t: pa.Table) -> pa.Table:
-    frames = []
-
-    m = _explode_movesets(t).to_pandas()
-    m = m.rename(columns={"species": "k1", "kind": "k2", "key": "k3"})
-    m["family"] = "movesets"
-    m["i1"] = 0
-    frames.append(m)
-
-    e = _explode_encounters(t).to_pandas()
-    e = e.rename(columns={"species": "k1", "opponent": "k2"})
-    e["k3"] = e.pop("outcome").astype(str)
-    e["family"] = "encounters"
-    e["i1"] = 0
-    frames.append(e)
-
-    tm = _explode_teammates(t).to_pandas()
-    tm = tm.rename(columns={"s1": "k1", "s2": "k2"})
-    tm["k3"] = ""
-    tm["family"] = "teammates"
-    tm["i1"] = 0
-    frames.append(tm)
-
-    st = _explode_stalliness(t).to_pandas()
-    st["k1"] = st.pop("value").map(repr)  # exact float roundtrip
-    st["k2"] = ""
-    st["k3"] = ""
-    st = st.rename(columns={"count": "i1"})
-    st["family"] = "stalliness"
-    frames.append(st)
-
+    # Arrow-native assembly: the per-family explodes already emit Arrow
+    # tables; renaming / constant columns / concat stay zero-copy instead of
+    # round-tripping ~1M rows per batch through pandas
     cols = ["family", "format", "k1", "k2", "k3", "i1"] + _W
-    df = pd.concat([f[cols] for f in frames], ignore_index=True)
-    return _pt(df)
+
+    def const_str(n: int, val: str) -> pa.Array:
+        return pa.array(np.full(n, val, dtype=object), type=pa.string())
+
+    def assemble(src: pa.Table, family: str, named: dict[str, str],
+                 extra: dict[str, pa.Array]) -> pa.Table:
+        n = len(src)
+        out = {"family": const_str(n, family)}
+        for c in cols[1:]:
+            if c in extra:
+                out[c] = extra[c]
+            else:
+                out[c] = src[named.get(c, c)]
+        return pa.table(out)
+
+    m = _explode_movesets(t)
+    e = _explode_encounters(t)
+    tm = _explode_teammates(t)
+    st = _explode_stalliness(t)
+    zeros = lambda n: pa.array(np.zeros(n, dtype=np.int64))  # noqa: E731
+    blanks = lambda n: const_str(n, "")  # noqa: E731
+
+    parts = [
+        assemble(m, "movesets",
+                 {"k1": "species", "k2": "kind", "k3": "key"},
+                 {"i1": zeros(len(m))}),
+        assemble(e, "encounters",
+                 {"k1": "species", "k2": "opponent"},
+                 {"k3": e["outcome"].cast(pa.string()),
+                  "i1": zeros(len(e))}),
+        assemble(tm, "teammates", {"k1": "s1", "k2": "s2"},
+                 {"k3": blanks(len(tm)), "i1": zeros(len(tm))}),
+        assemble(st, "stalliness", {"i1": "count"},
+                 {"k1": pa.array([repr(v) for v in
+                                  st["value"].to_numpy()]),  # exact roundtrip
+                  "k2": blanks(len(st)), "k3": blanks(len(st))}),
+    ]
+    return pa.concat_tables(parts, promote_options="permissive")
 
 
 def fused_highcard(parsed: Dataset, nbuckets: int = 128) -> Dataset:
