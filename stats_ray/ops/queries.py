@@ -558,6 +558,63 @@ FROM reach GROUP BY node
 """
 
 
+def _q_inverted_index(sf_dir: str):
+    from .retrieval import inverted_index
+    return _pd(inverted_index(sf_dir))
+
+
+_SQL_INVERTED_INDEX = """
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                      AS token
+             FROM documents),
+d AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> '')
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM d GROUP BY token
+"""
+
+
+def _q_bm25_topk(sf_dir: str):
+    from .retrieval import bm25_topk
+    return bm25_topk(sf_dir)
+
+
+# Okapi BM25, k1=1.2, b=0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1);
+# dl computed over ALL docs (zero-token docs contribute dl=0 to avgdl).
+_SQL_BM25_TOPK = """
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                      AS token
+             FROM documents),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '')) AS DOUBLE) AS dl
+       FROM documents),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, AVG(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM t WHERE token IN ('spark', 'query', 'window')
+       GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM t WHERE token IN ('spark', 'query', 'window') GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(score, 4) AS score
+FROM scored WHERE score > 0
+ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10
+"""
+
+
 def _q_top_parts(sf_dir: str):
     from .relational import top_parts_per_nation
     return top_parts_per_nation(sf_dir)
@@ -1061,6 +1118,8 @@ QUERIES = {
     "doc_pii_scrub": _q_pii_scrub,
     "doc_dup_spans": _q_dup_spans,
     "doc_dup_clusters": _q_dup_clusters,
+    "doc_inverted_index": _q_inverted_index,
+    "doc_bm25_topk": _q_bm25_topk,
 }
 
 ORACLES = {
@@ -1108,6 +1167,8 @@ ORACLES = {
     "doc_pii_scrub": _SQL_PII_SCRUB,
     "doc_dup_spans": _SQL_DUP_SPANS,
     "doc_dup_clusters": _SQL_DUP_CLUSTERS,
+    "doc_inverted_index": _SQL_INVERTED_INDEX,
+    "doc_bm25_topk": _SQL_BM25_TOPK,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

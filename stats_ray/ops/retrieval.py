@@ -1,0 +1,123 @@
+"""Retrieval operators over the `documents` table: distributed inverted-index
+build and BM25 top-k search.
+
+Tokenization follows the ops-wide contract (lower(text) split on
+non-alphanumeric runs, empties dropped) so DuckDB oracles can mirror both
+operators exactly.
+
+Scale shapes:
+- inverted_index: per-batch distinct (token, doc_id) pairs -> ONE
+  token-bucketed exchange -> per-token document frequency + the posting
+  list itself (sorted doc ids). Postings ride as a comma-joined string so
+  the value hash is engine-neutral; at 100 TB the same kernel writes
+  list<int64> Parquet and the exchange is the only all-to-all.
+- bm25_topk: one map pass computes per-doc length and per-query-term
+  frequencies (the query terms are a tiny closure constant); corpus stats
+  (N, avgdl) and per-term document frequencies reduce to scalars on the
+  driver; scoring is a second vectorized map over the per-doc partials with
+  per-block top-k, so the driver merges <= k x blocks candidate rows.
+  Okapi BM25 (Robertson/Sparck Jones, public), k1=1.2, b=0.75,
+  idf = ln((N - df + 0.5) / (df + 0.5) + 1).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from ..exchange import bucketed_group_map
+from .text import read_documents
+
+_SPLIT = re.compile(r"[^a-z0-9]+")
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+DEFAULT_QUERY = ("spark", "query", "window")
+
+
+def inverted_index(sf_dir: str) -> Dataset:
+    """(token, df, postings) per distinct token; postings = comma-joined
+    ascending doc_ids containing the token."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        ids: list[int] = []
+        for i, t in zip(df["doc_id"], df["text"]):
+            seen = {w for w in _SPLIT.split(t.lower()) if w}
+            toks.extend(seen)
+            ids.extend([int(i)] * len(seen))
+        return pd.DataFrame({"token": pd.Series(toks, dtype="object"),
+                             "doc_id": pd.Series(ids, dtype="int64")})
+
+    def per_token(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["token", "doc_id"]) \
+            .sort_values(["token", "doc_id"])
+        g = df.groupby("token", sort=False)["doc_id"]
+        out = g.agg(lambda s: ",".join(map(str, s))).reset_index()
+        out.columns = ["token", "postings"]
+        out.insert(1, "df", g.size().to_numpy().astype("int64"))
+        return out
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    return bucketed_group_map(docs.map_batches(pairs, batch_format="pandas"),
+                              ["token"], per_token)
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_QUERY,
+              k: int = 10) -> pd.DataFrame:
+    """Top-k docs by BM25 score for `terms` (deterministic ties:
+    rounded score desc, doc_id asc)."""
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    term_list = list(terms)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": df["doc_id"].astype("int64").to_numpy(),
+                "dl": np.zeros(len(df), dtype=np.int64)}
+        tfs = {t: np.zeros(len(df), dtype=np.int64) for t in term_list}
+        for j, t in enumerate(df["text"]):
+            ws = [w for w in _SPLIT.split(t.lower()) if w]
+            rows["dl"][j] = len(ws)
+            for w in ws:
+                if w in tfs:
+                    tfs[w][j] += 1
+        for t in term_list:
+            rows[f"tf_{t}"] = tfs[t]
+            rows[f"has_{t}"] = (tfs[t] > 0).astype(np.int64)
+        return pd.DataFrame(rows)
+
+    per = docs.map_batches(per_doc, batch_format="pandas").materialize()
+
+    # corpus stats + per-term document frequencies: ONE tiny scalar reduction
+    import ray
+    n_docs = per.count()
+    sums = per.sum(["dl"] + [f"has_{t}" for t in term_list])
+    avgdl = sums["sum(dl)"] / n_docs if n_docs else 0.0
+    dfs = {t: sums[f"sum(has_{t})"] for t in term_list}
+    idf = {t: float(np.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0))
+           for t in term_list}
+    const = ray.put((idf, avgdl))
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        idf_, avgdl_ = ray.get(const)
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        denom_norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl_) \
+            if avgdl_ else np.full(len(df), BM25_K1)
+        score = np.zeros(len(df))
+        for t in term_list:
+            tf = df[f"tf_{t}"].to_numpy(dtype=np.float64)
+            score += idf_[t] * tf * (BM25_K1 + 1.0) / (tf + denom_norm)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "score": score})
+        out = out[out["score"] > 0.0]
+        f = 1e4
+        out["score"] = np.sign(out["score"]) * np.floor(
+            np.abs(out["score"]) * f + 0.5) / f
+        return (out.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(k))
+
+    cands = per.map_batches(score_block, batch_format="pandas").to_pandas()
+    return (cands.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -48,7 +48,7 @@ def _norm(df):
     "events_json_props", "events_retention", "events_funnel",
     "doc_clean_corpus", "doc_pack_sequences",
     "doc_chunks", "doc_source_cap", "doc_pii_scrub", "doc_dup_spans",
-    "doc_dup_clusters",
+    "doc_dup_clusters", "doc_inverted_index", "doc_bm25_topk",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -414,3 +414,41 @@ def test_chunk_documents_boundaries(ray_session, tmp_path):
     # doc 0: starts 0/384/768 -> lens 512, 512, 232; doc 1: one chunk of 10
     assert out["doc_id"].tolist() == [0, 0, 0, 1]
     assert out["chunk_chars"].tolist() == [512, 512, 232, 10]
+
+
+def test_bm25_ranks_planted_relevant_doc_first(ray_session, tmp_path):
+    """A doc saturated with the query terms must outrank partial matches,
+    and docs with no query term must not appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.retrieval import bm25_topk
+    texts = [
+        "spark query window spark query window spark query window",
+        "spark appears once amid much other filler text entirely",
+        "no relevant terms in this document at all whatsoever",
+        "window window maybe a little bit relevant",
+    ]
+    pq.write_table(pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = bm25_topk(str(tmp_path), k=10)
+    assert out["doc_id"].iloc[0] == 0
+    assert 2 not in set(out["doc_id"])
+    assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
+
+
+def test_inverted_index_postings_sorted_distinct(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.retrieval import inverted_index
+    texts = ["alpha beta alpha", "beta gamma", "alpha"]
+    pq.write_table(pa.table({"doc_id": pa.array([5, 3, 9], pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = inverted_index(str(tmp_path)).to_pandas().set_index("token")
+    assert out.loc["alpha", "postings"] == "5,9"      # distinct + sorted
+    assert int(out.loc["alpha", "df"]) == 2
+    assert out.loc["beta", "postings"] == "3,5"
+    assert out.loc["gamma", "postings"] == "3"
