@@ -38,9 +38,16 @@ BM25_B = 0.75
 DEFAULT_QUERY = ("spark", "query", "window")
 
 
-def inverted_index(sf_dir: str) -> Dataset:
+def inverted_index(sf_dir: str, max_df: int | None = None) -> Dataset:
     """(token, df, postings) per distinct token; postings = comma-joined
-    ascending doc_ids containing the token."""
+    ascending doc_ids containing the token.
+
+    `max_df` drops tokens appearing in more than max_df docs (stopword
+    pruning) — at corpus scale a stopword's posting list is a
+    corpus-length row in one bucket, so production builds should set it;
+    the oracle checks the exact (unpruned) default. A further scale note:
+    postings for retained tokens are bounded by max_df, so per-bucket
+    memory is bounded by nbuckets x max_df x mean-token-share."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
@@ -56,6 +63,10 @@ def inverted_index(sf_dir: str) -> Dataset:
         df = df.drop_duplicates(["token", "doc_id"]) \
             .sort_values(["token", "doc_id"])
         g = df.groupby("token", sort=False)["doc_id"]
+        if max_df is not None:
+            keep = g.transform("size") <= max_df
+            df = df[keep]
+            g = df.groupby("token", sort=False)["doc_id"]
         out = g.agg(lambda s: ",".join(map(str, s))).reset_index()
         out.columns = ["token", "postings"]
         out.insert(1, "df", g.size().to_numpy().astype("int64"))

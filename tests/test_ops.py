@@ -452,3 +452,17 @@ def test_inverted_index_postings_sorted_distinct(ray_session, tmp_path):
     assert int(out.loc["alpha", "df"]) == 2
     assert out.loc["beta", "postings"] == "3,5"
     assert out.loc["gamma", "postings"] == "3"
+
+
+def test_inverted_index_max_df_prunes_stopwords(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.retrieval import inverted_index
+    texts = ["the alpha", "the beta", "the gamma"]
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = inverted_index(str(tmp_path), max_df=2).to_pandas()
+    assert "the" not in set(out["token"])        # df=3 pruned
+    assert set(out["token"]) == {"alpha", "beta", "gamma"}
