@@ -31,7 +31,7 @@ from ray.data import Dataset
 
 
 def append_bucket(t: pa.Table, keys: list[str], nbuckets: int,
-                  col: str = "bucket") -> pa.Table:
+                  col: str = "bkt__") -> pa.Table:
     """Append an int32 hash-bucket column derived from ``keys``."""
     h = np.zeros(len(t), dtype=np.uint64)
     for kcol in keys:
@@ -67,7 +67,7 @@ def bucketed_group_map(ds: Dataset, keys: list[str],
         return append_bucket(t, keys, nbuckets)
 
     def run(df: pd.DataFrame):
-        df = df.drop(columns="bucket")
+        df = df.drop(columns="bkt__")
         if stable_order:
             df = _stable_sort(df)
         out = fn(df)
@@ -77,7 +77,7 @@ def bucketed_group_map(ds: Dataset, keys: list[str],
         return out
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby("bucket").map_groups(run, batch_format="pandas"))
+            .groupby("bkt__").map_groups(run, batch_format="pandas"))
 
 
 def bucketed_agg(ds: Dataset, keys: list[str],

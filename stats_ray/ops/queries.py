@@ -1000,6 +1000,34 @@ FROM p ORDER BY doc_id
 """
 
 
+def _q_clean_pack(sf_dir: str):
+    from .text import clean_and_pack
+    return _pd(clean_and_pack(sf_dir)).sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+# Composed oracle: the clean_corpus CTE chain re-used verbatim, its final
+# SELECT folded into a `clean` CTE, then the pack window over the survivors.
+_head, _tail = _SQL_CLEAN_CORPUS.rsplit("SELECT s0.doc_id", 1)
+_SQL_CLEAN_PACK = (
+    _head + ", clean AS (SELECT s0.doc_id"
+    + _tail.replace("ORDER BY s0.doc_id", "") + "),\n"
+    + r"""kept AS (SELECT doc_id FROM clean WHERE status = 'kept'),
+cnt AS (SELECT d.doc_id,
+               len(list_filter(regexp_split_to_array(d.text, '\s+'),
+                               x -> x <> '')) AS n
+        FROM documents d JOIN kept USING (doc_id)),
+p AS (SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM cnt)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(prefix AS BIGINT) AS prefix_tokens,
+       CAST(prefix // 512 AS BIGINT) AS seq_id
+FROM p ORDER BY doc_id""")
+
+
 def _q_chunks(sf_dir: str):
     from .text import chunk_documents
     return _pd(chunk_documents(sf_dir)).sort_values(
@@ -1120,6 +1148,7 @@ QUERIES = {
     "doc_dup_clusters": _q_dup_clusters,
     "doc_inverted_index": _q_inverted_index,
     "doc_bm25_topk": _q_bm25_topk,
+    "doc_clean_pack": _q_clean_pack,
 }
 
 ORACLES = {
@@ -1169,6 +1198,7 @@ ORACLES = {
     "doc_dup_clusters": _SQL_DUP_CLUSTERS,
     "doc_inverted_index": _SQL_INVERTED_INDEX,
     "doc_bm25_topk": _SQL_BM25_TOPK,
+    "doc_clean_pack": _SQL_CLEAN_PACK,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

@@ -301,11 +301,14 @@ def tfidf(sf_dir: str) -> pd.DataFrame:
 
 
 def pack_sequences(sf_dir: str, capacity: int = 512,
-                   bucket_size: int = 64) -> Dataset:
+                   bucket_size: int = 64,
+                   docs: Dataset | None = None) -> Dataset:
     """Sequence packing for training: assign each document (in doc_id order)
     to the fixed-`capacity`-token sequence its running token offset lands
     in — block packing, the deterministic scheme sequence loaders use.
-    Emits (doc_id, n_tokens, prefix_tokens, seq_id).
+    Emits (doc_id, n_tokens, prefix_tokens, seq_id). Pass `docs` to pack a
+    filtered (doc_id, text, ...) subset (e.g. clean_and_pack's survivors);
+    packing order is still global doc_id order.
 
     Scale shape — a distributed EXCLUSIVE PREFIX SUM, the primitive ordered
     packing needs and Ray Data lacks natively, done in two phases with no
@@ -316,9 +319,10 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
     exclusive scan across buckets; the per-bucket offsets are broadcast back
     and each bucket finishes its local cumsum independently. Driver memory
     is O(n_buckets), never O(docs)."""
-    from ray.data.aggregate import Sum
+    import ray
 
-    ds = read_documents(sf_dir, ["doc_id", "text"])
+    ds = docs if docs is not None \
+        else read_documents(sf_dir, ["doc_id", "text"])
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         # ASCII-whitespace token count (runs of non-[ \t\n\r\f\v]) — matches
@@ -335,27 +339,52 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
     cnt = ds.map_batches(counts, batch_format="pandas")
 
     # phase 1: one tiny row per bucket -> exclusive scan on the driver
-    totals = (cnt.groupby("bucket")
-              .aggregate(Sum("n_tokens", alias_name="tot")).to_pandas()
-              .sort_values("bucket").reset_index(drop=True))
+    totals = (bucketed_agg(
+                  cnt.map_batches(lambda df: df[["bucket", "n_tokens"]],
+                                  batch_format="pandas"),
+                  ["bucket"], {"tot": ("n_tokens", "sum")})
+              .to_pandas().sort_values("bucket").reset_index(drop=True))
     totals["offset"] = totals["tot"].cumsum().shift(fill_value=0)
     offsets = dict(zip(totals["bucket"].astype(int),
                        totals["offset"].astype(int)))
+    off_ref = ray.put(offsets)
 
-    # phase 2: per-bucket local cumsum + broadcast offset (offsets dict is
-    # O(n_buckets) — rides the task closure like other small sides)
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        prefix = (g["n_tokens"].cumsum().shift(fill_value=0)
-                  + offsets[int(g["bucket"].iloc[0])])
+    # phase 2: every pack-bucket lands complete in some exchange bucket;
+    # the local cumsum is ONE vectorized grouped scan per exchange bucket
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(["bucket", "doc_id"])
+        base = df["bucket"].map(off).astype("int64")
+        local = (df.groupby("bucket", sort=False)["n_tokens"].cumsum()
+                 - df["n_tokens"])
+        prefix = (local + base).astype("int64")
         return pd.DataFrame({
-            "doc_id": g["doc_id"],
-            "n_tokens": g["n_tokens"],
-            "prefix_tokens": prefix.astype("int64"),
+            "doc_id": df["doc_id"],
+            "n_tokens": df["n_tokens"],
+            "prefix_tokens": prefix,
             "seq_id": (prefix // capacity).astype("int64"),
         })
 
-    return cnt.groupby("bucket").map_groups(assign, batch_format="pandas")
+    return bucketed_group_map(cnt, ["bucket"], assign)
+
+
+def clean_and_pack(sf_dir: str, capacity: int = 512,
+                   bucket_size: int = 64) -> Dataset:
+    """Composed curation flagship: clean_corpus gates (bench / too-short /
+    low-diversity / contaminated / exact-dup) -> inner co-partition join
+    back to the documents -> distributed prefix-sum packing of the
+    SURVIVORS into fixed-capacity sequences. One lazy flow: the gate pass,
+    one md5 exchange (dup marking), one doc_id co-partition join, one
+    bucket exchange (pack); nothing corpus-sized touches the driver."""
+    from .decontam import clean_corpus
+    from .relational import hash_join
+
+    kept = clean_corpus(sf_dir).filter(expr="status == 'kept'")
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    survivors = hash_join(docs, kept, on="doc_id",
+                          left_cols=["text"], right_cols=["status"],
+                          how="inner")
+    return pack_sequences(sf_dir, capacity, bucket_size, docs=survivors)
 
 
 def chunk_documents(sf_dir: str, size: int = 512,

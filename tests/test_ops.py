@@ -466,3 +466,16 @@ def test_inverted_index_max_df_prunes_stopwords(ray_session, tmp_path):
     out = inverted_index(str(tmp_path), max_df=2).to_pandas()
     assert "the" not in set(out["token"])        # df=3 pruned
     assert set(out["token"]) == {"alpha", "beta", "gamma"}
+
+
+def test_clean_pack_only_kept_docs_packed(ray_session, con):
+    """Composed clean->pack: packed doc set == clean_corpus kept set, and
+    prefix sums are contiguous in doc_id order."""
+    from stats_ray.ops.queries import QUERIES
+    clean = _norm(QUERIES["doc_clean_corpus"](SF))
+    kept = set(clean.loc[clean["status"] == "kept", "doc_id"].astype(int))
+    packed = QUERIES["doc_clean_pack"](SF)
+    assert set(packed["doc_id"].astype(int)) == kept
+    p = packed.sort_values("doc_id").reset_index(drop=True)
+    expect = p["n_tokens"].cumsum().shift(fill_value=0)
+    assert (p["prefix_tokens"].to_numpy() == expect.to_numpy()).all()
