@@ -412,8 +412,15 @@ class ParseBattles:
         dx, legacy = self.dx, self.legacy
         n = len(rows)
         cols: dict[str, list] = {name: [] for name, _ in PARSED_SCALARS}
-        p1_tags, p2_tags, slots_col, matchups_col = [], [], [], []
-        mon_meta: list[tuple[dict, dict]] = []  # (mon, slot row) for batch math
+        p1_tags, p2_tags = [], []
+        # columnar staging for the nested slot/matchup columns: one flat list
+        # per struct field + list offsets — 24k per-batch slot dicts were a
+        # measured 30-40% of the assemble wall
+        S: dict[str, list] = {f.name: [] for f in SLOT_T
+                              if f.name not in ("spread", "stats")}
+        M: dict[str, list] = {f.name: [] for f in MATCHUP_T}
+        s_off, m_off = [0], [0]
+        mon_meta: list[tuple[dict, int]] = []  # (mon, flat slot idx)
 
         # numpy staging for vectorized weight math
         has_r = np.zeros((n, 2), dtype=bool)
@@ -484,7 +491,6 @@ class ParseBattles:
             cols["lead1"].append(lead1)
             cols["lead2"].append(lead2)
 
-            slots = []
             for j, side in enumerate(("p1", "p2")):
                 team = b["teams"][side]
                 bias, stalliness, tags = classified[2 * i + j]
@@ -494,38 +500,51 @@ class ParseBattles:
                 player = to_id(doc.get(side) or "")
                 for k, st in enumerate(b["mons"][side]):
                     mon = team[k] if k < len(team) else None
+                    S["side"].append(j + 1)
+                    S["slot"].append(k)
+                    S["player"].append(player)
                     if mon is None:
                         # legacy 'empty' slot: counted in the global usage /
                         # metagame totals, excluded from per-species stats
-                        slots.append({
-                            "side": j + 1, "slot": k, "player": player,
-                            "species": "empty", "item": "", "ability": "",
-                            "nature": "", "happiness": 0, "level": 0,
-                            "tera": "", "move1": "", "move2": "",
-                            "move3": "", "move4": "", "spread": "",
-                            "stats": "", "turns_out": 0, "kos": 0,
-                        })
+                        S["species"].append("empty")
+                        S["item"].append("")
+                        S["ability"].append("")
+                        S["nature"].append("")
+                        S["happiness"].append(0)
+                        S["level"].append(0)
+                        S["tera"].append("")
+                        for mv in ("move1", "move2", "move3", "move4"):
+                            S[mv].append("")
+                        S["turns_out"].append(0)
+                        S["kos"].append(0)
                         continue
                     # spread/stats keys are filled in one vectorized pass below
-                    slots.append({
-                        "side": j + 1, "slot": k, "player": player,
-                        "species": mon["species"], "item": mon["item"],
-                        "ability": mon["ability"], "nature": mon["nature"],
-                        "happiness": mon["happiness"], "level": mon["level"],
-                        "tera": mon["tera"],
-                        "move1": mon["moves"][0], "move2": mon["moves"][1],
-                        "move3": mon["moves"][2], "move4": mon["moves"][3],
-                        "spread": "", "stats": "",
-                        "turns_out": st["turnsOut"], "kos": st["kos"],
-                    })
-                    mon_meta.append((mon, slots[-1]))
-            slots_col.append(slots)
-            matchups_col.append([
-                {"idx": k, "s1": m[0], "s2": m[1], "outcome": m[2]}
-                for k, m in enumerate(b["matchups"])
-            ])
+                    S["species"].append(mon["species"])
+                    S["item"].append(mon["item"])
+                    S["ability"].append(mon["ability"])
+                    S["nature"].append(mon["nature"])
+                    S["happiness"].append(mon["happiness"])
+                    S["level"].append(mon["level"])
+                    S["tera"].append(mon["tera"])
+                    S["move1"].append(mon["moves"][0])
+                    S["move2"].append(mon["moves"][1])
+                    S["move3"].append(mon["moves"][2])
+                    S["move4"].append(mon["moves"][3])
+                    S["turns_out"].append(st["turnsOut"])
+                    S["kos"].append(st["kos"])
+                    mon_meta.append((mon, len(S["side"]) - 1))
+            s_off.append(len(S["side"]))
+            for k, m in enumerate(b["matchups"]):
+                M["idx"].append(k)
+                M["s1"].append(m[0])
+                M["s2"].append(m[1])
+                M["outcome"].append(m[2])
+            m_off.append(len(M["idx"]))
 
         # vectorized spread/stat keys across every mon in the batch (M14)
+        n_slots = len(S["side"])
+        spread_flat = [""] * n_slots
+        stats_flat = [""] * n_slots
         if mon_meta:
             from ..functions.statmath import STAT_ORDER, spread_and_stats_batch
             m_iv = np.array([[m["ivs"][s] for s in STAT_ORDER]
@@ -537,9 +556,11 @@ class ParseBattles:
                 [m["species"] for m, _ in mon_meta],
                 [m["nature"] for m, _ in mon_meta], m_iv, m_ev, m_lv,
                 dx=dx, legacy=legacy)
-            for (arr_s, arr_k, (_, row)) in zip(spreads, statkeys, mon_meta):
-                row["spread"] = arr_s
-                row["stats"] = arr_k
+            for (arr_s, arr_k, (_, idx)) in zip(spreads, statkeys, mon_meta):
+                spread_flat[idx] = arr_s
+                stats_flat[idx] = arr_k
+        S["spread"] = spread_flat
+        S["stats"] = stats_flat
 
         # vectorized weights + gxe (Cody erf; stats.ts:245-270, util.ts:410-419)
         for j, side in enumerate(("p1", "p2")):
@@ -567,6 +588,15 @@ class ParseBattles:
         arrays = {name: pa.array(cols[name], type=typ) for name, typ in PARSED_SCALARS}
         arrays["p1_tags"] = pa.array(p1_tags, type=pa.list_(pa.string()))
         arrays["p2_tags"] = pa.array(p2_tags, type=pa.list_(pa.string()))
-        arrays["slots"] = pa.array(slots_col, type=pa.list_(SLOT_T))
-        arrays["matchups"] = pa.array(matchups_col, type=pa.list_(MATCHUP_T))
+
+        def nested(fields: pa.StructType, flat: dict[str, list],
+                   offs: list[int]) -> pa.Array:
+            struct = pa.StructArray.from_arrays(
+                [pa.array(flat[f.name], type=f.type) for f in fields],
+                fields=list(fields))
+            lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
+            return lst.cast(pa.list_(fields))
+
+        arrays["slots"] = nested(SLOT_T, S, s_off)
+        arrays["matchups"] = nested(MATCHUP_T, M, m_off)
         return pa.table(arrays, schema=PARSED_SCHEMA)
