@@ -104,6 +104,9 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_QUERY,
     # corpus stats + per-term document frequencies: ONE tiny scalar reduction
     import ray
     n_docs = per.count()
+    if not n_docs:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
     sums = per.sum(["dl"] + [f"has_{t}" for t in term_list])
     avgdl = sums["sum(dl)"] / n_docs if n_docs else 0.0
     dfs = {t: sums[f"sum(has_{t})"] for t in term_list}

@@ -339,14 +339,17 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
     cnt = ds.map_batches(counts, batch_format="pandas")
 
     # phase 1: one tiny row per bucket -> exclusive scan on the driver
-    totals = (bucketed_agg(
-                  cnt.map_batches(lambda df: df[["bucket", "n_tokens"]],
-                                  batch_format="pandas"),
-                  ["bucket"], {"tot": ("n_tokens", "sum")})
-              .to_pandas().sort_values("bucket").reset_index(drop=True))
-    totals["offset"] = totals["tot"].cumsum().shift(fill_value=0)
-    offsets = dict(zip(totals["bucket"].astype(int),
-                       totals["offset"].astype(int)))
+    totals = bucketed_agg(
+        cnt.map_batches(lambda df: df[["bucket", "n_tokens"]],
+                        batch_format="pandas"),
+        ["bucket"], {"tot": ("n_tokens", "sum")}).to_pandas()
+    if totals.empty:  # empty corpus: no buckets, no offsets
+        offsets: dict[int, int] = {}
+    else:
+        totals = totals.sort_values("bucket").reset_index(drop=True)
+        totals["offset"] = totals["tot"].cumsum().shift(fill_value=0)
+        offsets = dict(zip(totals["bucket"].astype(int),
+                           totals["offset"].astype(int)))
     off_ref = ray.put(offsets)
 
     # phase 2: every pack-bucket lands complete in some exchange bucket;

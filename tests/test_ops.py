@@ -479,3 +479,25 @@ def test_clean_pack_only_kept_docs_packed(ray_session, con):
     p = packed.sort_values("doc_id").reset_index(drop=True)
     expect = p["n_tokens"].cumsum().shift(fill_value=0)
     assert (p["prefix_tokens"].to_numpy() == expect.to_numpy()).all()
+
+
+def test_exchange_ops_handle_empty_corpus(ray_session, tmp_path):
+    """Degenerate input: an empty documents table must yield empty results,
+    not crash, through every exchange-based operator family."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())}),
+                   tmp_path / "documents.parquet")
+    from stats_ray.ops.dedup import dup_spans, exact_dedup
+    from stats_ray.ops.retrieval import bm25_topk, inverted_index
+    from stats_ray.ops.text import pack_sequences
+    assert exact_dedup(str(tmp_path)).count() == 0
+    assert dup_spans(str(tmp_path)).count() == 0
+    assert inverted_index(str(tmp_path)).count() == 0
+    assert pack_sequences(str(tmp_path)).count() == 0
+    assert len(bm25_topk(str(tmp_path))) == 0
