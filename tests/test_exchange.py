@@ -1,0 +1,84 @@
+"""Property tests for the shared bucketed hash exchange
+(stats_ray/exchange.py) — the substrate every high-cardinality grouped
+operator runs on: bucketed_agg must match a local pandas groupby exactly
+(including single-hot-key skew and empty input), and group completeness
+must hold (no key split across buckets)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _agg_via_exchange(df: pd.DataFrame, keys, spec, nbuckets=8):
+    import ray.data
+
+    from stats_ray.exchange import bucketed_agg
+    ds = ray.data.from_pandas(df)
+    return bucketed_agg(ds, keys, spec, nbuckets=nbuckets).to_pandas()
+
+
+def _norm(df: pd.DataFrame, keys) -> pd.DataFrame:
+    return df.sort_values(keys).reset_index(drop=True)[sorted(df.columns)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "hot"]),
+              st.integers(-3, 3),
+              st.integers(-1000, 1000)),
+    min_size=1, max_size=200))
+def test_bucketed_agg_matches_pandas(ray_session, rows):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    df["v"] = df["v"].astype("int64")
+    got = _agg_via_exchange(df, ["k1", "k2"], {"s": ("v", "sum"),
+                                               "m": ("v", "max"),
+                                               "n": ("v", "size")})
+    want = df.groupby(["k1", "k2"], as_index=False).agg(
+        s=("v", "sum"), m=("v", "max"), n=("v", "size"))
+    pd.testing.assert_frame_equal(_norm(got, ["k1", "k2"]),
+                                  _norm(want, ["k1", "k2"]),
+                                  check_dtype=False)
+
+
+def test_bucketed_agg_single_hot_key(ray_session):
+    """Pathological skew: every row the same key — one bucket holds all of
+    it (documented contract: skew bounded by the KEY, partial combine
+    upstream is the pressure valve) but the result must still be exact."""
+    df = pd.DataFrame({"k": ["hot"] * 5000,
+                       "v": np.arange(5000, dtype="int64")})
+    got = _agg_via_exchange(df, ["k"], {"s": ("v", "sum")})
+    assert len(got) == 1
+    assert int(got["s"].iloc[0]) == int(df["v"].sum())
+
+
+def test_bucketed_group_map_groups_complete(ray_session):
+    """Every key's rows arrive in ONE kernel invocation (group
+    completeness is what makes per-bucket kernels correct)."""
+    import ray.data
+
+    from stats_ray.exchange import bucketed_group_map
+    df = pd.DataFrame({"k": np.repeat(np.arange(50), 7),
+                       "v": np.arange(350, dtype="int64")})
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        sizes = part.groupby("k", as_index=False).agg(n=("v", "size"))
+        return sizes
+
+    out = bucketed_group_map(ray.data.from_pandas(df), ["k"], kernel,
+                             nbuckets=8).to_pandas()
+    assert len(out) == 50                      # each key exactly once
+    assert (out["n"] == 7).all()               # with all its rows
+
+
+def test_bucketed_agg_float_sum_deterministic(ray_session):
+    """The row-hash presort makes distributed float sums a pure function
+    of the data: two runs over differently-ordered input agree bit-for-bit."""
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 20, 3000).astype(str),
+                       "v": rng.normal(size=3000)})
+    a = _norm(_agg_via_exchange(df, ["k"], {"s": ("v", "sum")}), ["k"])
+    shuffled = df.sample(frac=1.0, random_state=13).reset_index(drop=True)
+    b = _norm(_agg_via_exchange(shuffled, ["k"], {"s": ("v", "sum")}), ["k"])
+    assert (a["s"].to_numpy() == b["s"].to_numpy()).all()  # bitwise
