@@ -128,6 +128,16 @@ def cmd_synth(args):
         print(json.dumps({"dir": d}))
 
 
+def cmd_curate(args):
+    """Resumable document curation: clean gates -> pack survivors ->
+    shard-partitioned Parquet (pipelines/curate.py)."""
+    _ray()
+    from .pipelines.curate import run_curation
+    counts = run_curation(args.sf_dir, args.out, capacity=args.capacity,
+                          n_shards=args.shards)
+    print(json.dumps(counts))
+
+
 def cmd_quarantine(args):
     """Fault-tolerant parse: good rows to out/parsed (partitioned by
     format), malformed battles to out/errors with their parse_error."""
@@ -199,6 +209,13 @@ def main(argv=None):
     sp.add_argument("--corpus", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_quarantine)
+
+    sp = sub.add_parser("curate")
+    sp.add_argument("--sf-dir", required=True, dest="sf_dir")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--capacity", type=int, default=512)
+    sp.add_argument("--shards", type=int, default=16)
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("synth")
     sp.add_argument("--sf", default="0.001")

@@ -47,3 +47,24 @@ def test_cli_quarantine(ray_session, small_corpus, tmp_path):
     err = pd.read_parquet(f"{out}/errors/errors.parquet")
     assert list(err.columns) == ["doc_id", "source", "parse_error"]
     assert len(err) == 0  # clean synth corpus has no malformed battles
+
+
+def test_curate_resumable(ray_session, tmp_path):
+    """curate writes clean + shard-partitioned packed output; a rerun skips
+    both completed stages (manifest hit, identical counts)."""
+    import json
+    import os
+
+    from stats_ray.pipelines.curate import run_curation
+    out = str(tmp_path / "curated")
+    c1 = run_curation("/root/testdata/sf0.001", out, n_shards=4)
+    assert c1["packed"] > 0 and c1["clean"] >= c1["packed"]
+    shards = [d for d in os.listdir(os.path.join(out, "packed"))
+              if d.startswith("shard=")]
+    assert 1 <= len(shards) <= 4
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        n_entries = len(f.read().strip().splitlines())
+    c2 = run_curation("/root/testdata/sf0.001", out, n_shards=4)  # resume
+    assert c2 == c1
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        assert len(f.read().strip().splitlines()) == n_entries  # no rework
