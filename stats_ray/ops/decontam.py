@@ -152,7 +152,8 @@ def repetition_stats(sf_dir: str) -> Dataset:
 
 
 def clean_corpus(sf_dir: str, n: int = 4, min_tokens: int = 20,
-                 min_ttr: float = 0.35) -> "Dataset":
+                 min_ttr: float = 0.35,
+                 with_counts: bool = False) -> "Dataset":
     """Composed training-data cleaning pipeline with full accounting: every
     document gets a `status` — the FIRST gate it failed, in pipeline order
     (bench / too_short / low_diversity / contaminated / duplicate), or
@@ -177,9 +178,10 @@ def clean_corpus(sf_dir: str, n: int = 4, min_tokens: int = 20,
             self.bench = ray.get(grams_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            status, hkey = [], []
+            status, hkey, ntok = [], [], []
             for doc_id, text in zip(df["doc_id"], df["text"]):
                 toks = _words(text)
+                ntok.append(len(toks))
                 if doc_id % BENCH_MOD == 0:
                     st = "bench"
                 elif len(toks) < min_tokens:
@@ -195,16 +197,32 @@ def clean_corpus(sf_dir: str, n: int = 4, min_tokens: int = 20,
                 # exchange as salted singletons (no branch/union needed)
                 hkey.append(hashlib.md5(text.encode()).hexdigest()
                             if st == "kept" else f"x{doc_id}")
-            return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                                 "status": status, "h": hkey})
+            out = {"doc_id": df["doc_id"].astype("int64"),
+                   "status": status, "h": hkey}
+            if with_counts:
+                out["n_tokens"] = pd.Series(ntok, dtype="int64")
+            return pd.DataFrame(out)
 
-    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        st = g["status"].to_numpy(copy=True)
-        if len(g) > 1 and st[0] == "kept":
-            st[1:] = "duplicate"
-        return pd.DataFrame({"doc_id": g["doc_id"], "status": st})
+    def mark_dups(df: pd.DataFrame) -> pd.DataFrame:
+        # every content-hash group in the bucket in one scan: the first
+        # kept doc (min doc_id) of a hash stays, the rest become duplicates
+        # (failed docs ride salted singleton keys, so they never group)
+        df = df.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        h = df["h"].to_numpy()
+        st = df["status"].to_numpy(copy=True)
+        if len(df):
+            first = np.empty(len(h), dtype=bool)
+            first[0] = True
+            first[1:] = h[1:] != h[:-1]
+            grp = np.cumsum(first) - 1
+            first_kept = (st[first] == "kept")[grp]
+            st[(~first) & first_kept] = "duplicate"
+        cols = {"doc_id": df["doc_id"], "status": st}
+        if with_counts:
+            cols["n_tokens"] = df["n_tokens"]
+        return pd.DataFrame(cols)
 
-    return (read_documents(sf_dir, ["doc_id", "text"])
-            .map_batches(Gate, batch_format="pandas", concurrency=(1, 4))
-            .groupby("h").map_groups(mark_dups, batch_format="pandas"))
+    from ..exchange import bucketed_group_map
+    gated = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Gate, batch_format="pandas", concurrency=(1, 4))
+    return bucketed_group_map(gated, ["h"], mark_dups)

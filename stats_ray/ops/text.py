@@ -302,7 +302,8 @@ def tfidf(sf_dir: str) -> pd.DataFrame:
 
 def pack_sequences(sf_dir: str, capacity: int = 512,
                    bucket_size: int = 64,
-                   docs: Dataset | None = None) -> Dataset:
+                   docs: Dataset | None = None,
+                   counts_in: Dataset | None = None) -> Dataset:
     """Sequence packing for training: assign each document (in doc_id order)
     to the fixed-`capacity`-token sequence its running token offset lands
     in — block packing, the deterministic scheme sequence loaders use.
@@ -318,8 +319,21 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
     totals (ONE tiny row per bucket) come back to the driver for the
     exclusive scan across buckets; the per-bucket offsets are broadcast back
     and each bucket finishes its local cumsum independently. Driver memory
-    is O(n_buckets), never O(docs)."""
+    is O(n_buckets), never O(docs). Pass `counts_in` (doc_id, n_tokens)
+    to skip the tokenize-count map when an upstream stage already counted
+    the tokens (clean_and_pack's gate does)."""
     import ray
+
+    if counts_in is not None:
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "bucket": (df["doc_id"] // bucket_size).astype("int64"),
+            })
+
+        cnt = counts_in.map_batches(add_bucket, batch_format="pandas")
+        return _pack_from_counts(cnt, capacity)
 
     ds = docs if docs is not None \
         else read_documents(sf_dir, ["doc_id", "text"])
@@ -337,6 +351,12 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
         })
 
     cnt = ds.map_batches(counts, batch_format="pandas")
+    return _pack_from_counts(cnt, capacity)
+
+
+def _pack_from_counts(cnt: Dataset, capacity: int) -> Dataset:
+    """Both pack phases over a (doc_id, n_tokens, bucket) dataset."""
+    import ray
 
     # phase 1: one tiny row per bucket -> exclusive scan on the driver
     totals = bucketed_agg(
@@ -374,20 +394,19 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
 def clean_and_pack(sf_dir: str, capacity: int = 512,
                    bucket_size: int = 64) -> Dataset:
     """Composed curation flagship: clean_corpus gates (bench / too-short /
-    low-diversity / contaminated / exact-dup) -> inner co-partition join
-    back to the documents -> distributed prefix-sum packing of the
-    SURVIVORS into fixed-capacity sequences. One lazy flow: the gate pass,
-    one md5 exchange (dup marking), one doc_id co-partition join, one
-    bucket exchange (pack); nothing corpus-sized touches the driver."""
-    from .decontam import clean_corpus
-    from .relational import hash_join
+    low-diversity / contaminated / exact-dup) -> distributed prefix-sum
+    packing of the SURVIVORS into fixed-capacity sequences. One lazy flow:
+    the gate pass, one md5 exchange (dup marking), one bucket exchange
+    (pack); nothing corpus-sized touches the driver.
 
-    kept = clean_corpus(sf_dir).filter(expr="status == 'kept'")
-    docs = read_documents(sf_dir, ["doc_id", "text"])
-    survivors = hash_join(docs, kept, on="doc_id",
-                          left_cols=["text"], right_cols=["status"],
-                          how="inner")
-    return pack_sequences(sf_dir, capacity, bucket_size, docs=survivors)
+    The gate pass already tokenizes every doc, so its token counts ride
+    the status rows (with_counts) straight into the packer — no second
+    read of the documents and no doc_id join."""
+    from .decontam import clean_corpus
+
+    kept = (clean_corpus(sf_dir, with_counts=True)
+            .filter(expr="status == 'kept'"))
+    return pack_sequences(sf_dir, capacity, bucket_size, counts_in=kept)
 
 
 def chunk_documents(sf_dir: str, size: int = 512,
