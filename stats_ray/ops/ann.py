@@ -545,3 +545,48 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
 
     out = bucketed_group_map(pairs, ["id1", "id2"], dedup_pairs).to_pandas()
     return (out.sort_values(["id1", "id2"]).reset_index(drop=True))
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroids, long-form (label, dim, n, mean_v) —
+    the grouped vector rollup a curation pipeline uses for domain/topic
+    centroids (seeding semantic_dedup / ivf, drift monitoring).
+
+    Scale shape: each batch emits ONE k x d partial (label, vector-sum,
+    count); the driver combines k x d floats — group count k is the label
+    vocabulary, never the corpus, so nothing scales with N except the one
+    streaming pass."""
+    ds = read_embeddings(sf_dir, ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, mat = _to_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq),
+            "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            "n": pa.array(counts),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = {"label": [], "dim": [], "n": [], "mean_v": []}
+    for lab, g in parts.groupby("label"):
+        vs = np.sum([np.frombuffer(b, dtype=np.float64) for b in g["vsum"]],
+                    axis=0)
+        n = int(g["n"].sum())
+        mean = vs / n
+        d = len(mean)
+        rows["label"].extend([int(lab)] * d)
+        rows["dim"].extend(range(d))
+        rows["n"].extend([n] * d)
+        f = 1e4
+        rows["mean_v"].extend(np.sign(mean) * np.floor(np.abs(mean) * f + 0.5)
+                              / f)
+    out = pd.DataFrame(rows)
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)

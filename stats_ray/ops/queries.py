@@ -558,6 +558,22 @@ FROM reach GROUP BY node
 """
 
 
+def _q_label_centroids(sf_dir: str):
+    from .ann import label_centroids
+    return label_centroids(sf_dir)
+
+
+_SQL_LABEL_CENTROIDS = """
+WITH e AS (SELECT label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CAST(v AS DOUBLE)), 4) AS mean_v
+FROM e GROUP BY label, i
+"""
+
+
 def _q_inverted_index(sf_dir: str):
     from .retrieval import inverted_index
     return _pd(inverted_index(sf_dir))
@@ -1149,6 +1165,7 @@ QUERIES = {
     "doc_inverted_index": _q_inverted_index,
     "doc_bm25_topk": _q_bm25_topk,
     "doc_clean_pack": _q_clean_pack,
+    "embedding_label_centroids": _q_label_centroids,
 }
 
 ORACLES = {
@@ -1199,6 +1216,7 @@ ORACLES = {
     "doc_inverted_index": _SQL_INVERTED_INDEX,
     "doc_bm25_topk": _SQL_BM25_TOPK,
     "doc_clean_pack": _SQL_CLEAN_PACK,
+    "embedding_label_centroids": _SQL_LABEL_CENTROIDS,
     # minhash_dup_pairs / simhash_dup_pairs / doc_lang_id / ann_lsh_topk:
     # rows-only (sketch/heuristic operators)
 }

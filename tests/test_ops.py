@@ -49,6 +49,7 @@ def _norm(df):
     "doc_clean_corpus", "doc_pack_sequences",
     "doc_chunks", "doc_source_cap", "doc_pii_scrub", "doc_dup_spans",
     "doc_dup_clusters", "doc_inverted_index", "doc_bm25_topk",
+    "embedding_label_centroids",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
