@@ -92,19 +92,32 @@ def bucketed_agg(ds: Dataset, keys: list[str],
 
     if isinstance(spec, str):
         how = spec
+        reduced_cols = None  # every non-key column
 
         def agg(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby(keys, as_index=False, sort=False)
             return getattr(g, how)()
 
-        needs_stable = how in ("sum", "mean")
+        order_sensitive = how in ("sum", "mean")
     else:
         named = dict(spec)
+        reduced_cols = [c for c, h in named.values()
+                        if h in ("sum", "mean")]
 
         def agg(df: pd.DataFrame) -> pd.DataFrame:
             return df.groupby(keys, as_index=False, sort=False).agg(**named)
 
-        needs_stable = any(h in ("sum", "mean") for _, h in named.values())
+        order_sensitive = bool(reduced_cols)
 
-    return bucketed_group_map(ds, keys, agg, nbuckets=nbuckets,
-                              stable_order=needs_stable)
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        if order_sensitive:
+            # integer sums are exact in any order — only float reductions
+            # need the canonical row-hash presort for determinism
+            cols = reduced_cols if reduced_cols is not None \
+                else [c for c in df.columns if c not in keys]
+            if any(pd.api.types.is_float_dtype(df[c]) for c in cols
+                   if c in df.columns):
+                df = _stable_sort(df)
+        return agg(df)
+
+    return bucketed_group_map(ds, keys, run, nbuckets=nbuckets)

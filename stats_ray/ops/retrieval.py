@@ -67,6 +67,13 @@ def inverted_index(sf_dir: str, max_df: int | None = None) -> Dataset:
             keep = g.transform("size") <= max_df
             df = df[keep]
             g = df.groupby("token", sort=False)["doc_id"]
+        if df.empty:
+            # typed empty frame: an all-pruned bucket must keep
+            # string-typed token/postings or its Arrow block can't unify
+            # with the other buckets' schemas
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64"),
+                                 "postings": pd.Series(dtype="object")})
         out = g.agg(lambda s: ",".join(map(str, s))).reset_index()
         out.columns = ["token", "postings"]
         out.insert(1, "df", g.size().to_numpy().astype("int64"))

@@ -23,19 +23,28 @@ def run_curation(sf_dir: str, out_dir: str, *, capacity: int = 512,
                  n_shards: int = 16) -> dict[str, int]:
     from .. import __version__
     from ..ops.decontam import clean_corpus
-    from ..ops.text import clean_and_pack
     from ..state.checkpoints import Manifest
 
     manifest = Manifest(out_dir, lineage={"sf_dir": sf_dir,
                                           "capacity": capacity,
+                                          "n_shards": n_shards,
                                           "engine": __version__})
 
     def do_clean(tmp: str) -> dict:
-        clean_corpus(sf_dir).write_parquet(tmp)
+        # persist the gate's token counts so the pack stage reuses this
+        # output instead of re-running the whole gate pipeline
+        clean_corpus(sf_dir, with_counts=True).write_parquet(tmp)
         return {"rows": ray.data.read_parquet(tmp).count()}
 
+    clean_dir = manifest.partition_dir("clean")
+
     def do_pack(tmp: str) -> dict:
-        packed = clean_and_pack(sf_dir, capacity=capacity)
+        from ..ops.text import pack_sequences
+        kept = (ray.data.read_parquet(clean_dir,
+                                      columns=["doc_id", "status",
+                                               "n_tokens"])
+                .filter(expr="status == 'kept'"))
+        packed = pack_sequences(sf_dir, capacity=capacity, counts_in=kept)
 
         def shard(df: pd.DataFrame) -> pd.DataFrame:
             df["shard"] = (df["seq_id"] % n_shards).astype("int64")

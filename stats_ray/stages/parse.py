@@ -28,7 +28,15 @@ import json
 
 try:  # ~10x faster doc parse in the per-battle hot loop; stdlib fallback
     import orjson
-    _json_loads = orjson.loads
+
+    def _json_loads(s):
+        # orjson rejects JSON stdlib accepts (NaN/Infinity literals,
+        # ints beyond 64 bits); fall back per doc so the accepted-input
+        # surface doesn't depend on an optional dependency
+        try:
+            return orjson.loads(s)
+        except orjson.JSONDecodeError:
+            return json.loads(s)
 except ImportError:  # pragma: no cover
     _json_loads = json.loads
 
@@ -70,6 +78,11 @@ def _ts_ms(ts: str | None) -> int:
         return 0
     import datetime
     try:
+        # validate the fixed separators too — strptime rejected malformed
+        # strings (-> 0) and digit-position slicing alone would not
+        if (ts[4] != "-" or ts[7] != "-" or ts[10] != "T"
+                or ts[13] != ":" or ts[16] != ":"):
+            return 0
         dt = datetime.datetime(int(ts[0:4]), int(ts[5:7]), int(ts[8:10]),
                                int(ts[11:13]), int(ts[14:16]), int(ts[17:19]),
                                tzinfo=datetime.timezone.utc)
