@@ -54,14 +54,23 @@ def _stable_sort(df: pd.DataFrame) -> pd.DataFrame:
 def bucketed_group_map(ds: Dataset, keys: list[str],
                        fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
                        *, nbuckets: int = 64,
-                       stable_order: bool = False) -> Dataset:
+                       stable_order: bool = False,
+                       per_group: bool = False) -> Dataset:
     """One int-keyed exchange + a vectorized per-bucket kernel.
 
-    ``fn`` receives a pandas DataFrame holding ALL rows of every key-group
-    whose hash lands in the bucket (the bucket column already dropped) and
-    must itself be group-aware — i.e. do ``df.groupby(keys)`` internally,
-    vectorized over the whole bucket. This replaces per-group
-    ``map_groups`` kernels at high cardinality."""
+    Default (``per_group=False``): ``fn`` receives a pandas DataFrame
+    holding ALL rows of every key-group whose hash lands in the bucket
+    (the bucket column already dropped) and must itself be group-aware —
+    i.e. do ``df.groupby(keys)`` internally, vectorized over the whole
+    bucket. This replaces per-group ``map_groups`` kernels at high
+    cardinality.
+
+    ``per_group=True``: ``fn`` receives each KEY group's frame instead —
+    a LOCAL pandas dispatch inside the bucket (~100x cheaper than Ray's
+    per-group task dispatch) for kernels that genuinely need one group at
+    a time (all-pairs scoring, order statistics). An empty bucket calls
+    ``fn`` once with the empty frame so output schemas stay concrete —
+    the kernel must return a typed empty result for empty input."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         return append_bucket(t, keys, nbuckets)
@@ -70,7 +79,12 @@ def bucketed_group_map(ds: Dataset, keys: list[str],
         df = df.drop(columns="bkt__")
         if stable_order:
             df = _stable_sort(df)
-        out = fn(df)
+        if per_group:
+            parts = [fn(g) for _, g in df.groupby(keys, sort=False)]
+            out = (pd.concat(parts, ignore_index=True) if parts
+                   else fn(df))
+        else:
+            out = fn(df)
         if isinstance(out, pd.DataFrame):
             out = pa.Table.from_pandas(out, preserve_index=False) \
                 .replace_schema_metadata(None)

@@ -225,13 +225,8 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
             g["vec_id"].to_numpy(), np.stack(g["embedding"].to_numpy()),
             threshold, all_pairs_cap)
 
-    def all_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        parts = [bucket_pairs(g)
-                 for _, g in df.groupby(["band", "code"], sort=False)]
-        return (pd.concat(parts, ignore_index=True) if parts
-                else bucket_pairs(df))
-
-    pairs = bucketed_group_map(coded, ["band", "code"], all_buckets)
+    pairs = bucketed_group_map(coded, ["band", "code"], bucket_pairs,
+                               per_group=True)
     pairs = bucketed_group_map(
         pairs, ["id1", "id2"],
         lambda df: df.drop_duplicates(["id1", "id2"]))

@@ -232,16 +232,8 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id1": ids[a], "id2": ids[b]})
 
-    def all_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        # per-(band,band_hash) pairing runs as a LOCAL pandas groupby inside
-        # the one bucket exchange — Ray-level per-group dispatch at LSH
-        # bucket cardinality (~n_docs*bands) is the cost being avoided
-        parts = [bucket_pairs(g)
-                 for _, g in df.groupby(["band", "band_hash"], sort=False)]
-        return (pd.concat(parts, ignore_index=True) if parts
-                else bucket_pairs(df))
-
-    cands = bucketed_group_map(banded, ["band", "band_hash"], all_buckets)
+    cands = bucketed_group_map(banded, ["band", "band_hash"], bucket_pairs,
+                               per_group=True)
     # distributed pair dedup (a pair can surface from several bands)
     cands = bucketed_group_map(
         cands, ["id1", "id2"],
@@ -366,13 +358,8 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8,
         lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
         return pd.DataFrame({"id1": lo, "id2": hi, "hamming": ham[keep]})
 
-    def all_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        parts = [bucket_pairs(g)
-                 for _, g in df.groupby(["band", "value"], sort=False)]
-        return (pd.concat(parts, ignore_index=True) if parts
-                else bucket_pairs(df))
-
-    pairs = bucketed_group_map(exploded, ["band", "value"], all_buckets)
+    pairs = bucketed_group_map(exploded, ["band", "value"], bucket_pairs,
+                               per_group=True)
     # distributed dedup (a pair can match on several bands)
     pairs = bucketed_group_map(
         pairs, ["id1", "id2"],

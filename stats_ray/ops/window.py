@@ -134,14 +134,10 @@ def cumulative_per_key(ds: Dataset, key: str, order: list[str],
     cardinality is what this avoids. Kernels that vectorize across key
     boundaries (grouped cumsum/cumcount) should bypass this scaffold and
     write a bucket-level kernel directly (see events_cum_user)."""
-    def run(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key] + order, kind="stable")
-        parts = [fn(g.reset_index(drop=True))
-                 for _, g in df.groupby(key, sort=False)]
-        return (pd.concat(parts, ignore_index=True) if parts
-                else fn(df.reset_index(drop=True)))
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.sort_values(order, kind="stable").reset_index(drop=True))
 
-    return bucketed_group_map(ds, [key], run)
+    return bucketed_group_map(ds, [key], run, per_group=True)
 
 
 def events_cum_user(sf_dir: str) -> pd.DataFrame:

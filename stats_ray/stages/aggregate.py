@@ -993,20 +993,18 @@ def _rollup_viability(per_player: Dataset) -> Dataset:
             "v_p99": [vals[2]], "v_p80": [vals[3]],
         })
 
-    def _viab_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        parts = [_viab(g) for _, g in
-                 df.groupby(["format", "species"], sort=False)]
-        if parts:
-            return pd.concat(parts, ignore_index=True)
-        return pd.DataFrame({"format": pd.Series(dtype=str),
-                             "species": pd.Series(dtype=str),
-                             "v_n": pd.Series(dtype="int64"),
-                             "v_max": pd.Series(dtype="float64"),
-                             "v_p99": pd.Series(dtype="float64"),
-                             "v_p80": pd.Series(dtype="float64")})
+    def _viab_or_empty(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"format": pd.Series(dtype=str),
+                                 "species": pd.Series(dtype=str),
+                                 "v_n": pd.Series(dtype="int64"),
+                                 "v_max": pd.Series(dtype="float64"),
+                                 "v_p99": pd.Series(dtype="float64"),
+                                 "v_p80": pd.Series(dtype="float64")})
+        return _viab(g)
 
     rolled = bucketed_group_map(per_player, ["format", "species"],
-                                _viab_bucket)
+                                _viab_or_empty, per_group=True)
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
