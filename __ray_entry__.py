@@ -351,6 +351,37 @@ def _q_rating_percentile(sf_dir: str):
     return df
 
 
+def _q_routed_counts(sf_dir: str):
+    """S7 routed-row EQUALITY at the sink (north-rule criterion): write the
+    per-format partitioned Parquet sink, then count each partition
+    directory's actual rows — must equal the oracle's per-format battle
+    counts. Unlike battle_format_days (which counts the input), this reads
+    the routed files back."""
+    import os
+    import shutil
+
+    import ray.data
+    from stats_ray.pipelines.usage import route_parsed
+
+    corpus = _corpus(sf_dir)
+    out = f"/tmp/stats_ray_routed/{corpus.rsplit('/', 1)[1]}"
+    shutil.rmtree(out, ignore_errors=True)
+    route_parsed(_parsed(sf_dir), out)
+    rows = []
+    for d in sorted(os.listdir(out)):
+        if d.startswith("format="):
+            n = ray.data.read_parquet(os.path.join(out, d)).count()
+            rows.append({"format": d.split("=", 1)[1], "n": n})
+    df = pd.DataFrame(rows)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _sql_routed_counts() -> str:
+    return (f"WITH b AS {_b_cte()} SELECT format, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY format")
+
+
 def _q_binary_roundtrip(sf_dir: str):
     """M11/S9/A14: encode fixed-width binary rows, sort into the per-format
     db, decode back, recount species usage."""
@@ -781,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "battle_rating_percentile": _q_rating_percentile,
         "battle_binary_roundtrip": _q_binary_roundtrip,
         "battle_binary_stats": _q_binary_stats,
+        "battle_routed_counts": _q_routed_counts,
     }
     from stats_ray.ops import queries as generic
     q.update(generic.QUERIES)
@@ -912,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "battle_rating_percentile": _sql_rating_percentile(),
         "battle_binary_roundtrip": _sql_binary_roundtrip(),
         "battle_binary_stats": _sql_binary_stats(),
+        "battle_routed_counts": _sql_routed_counts(),
     }
     from stats_ray.ops import queries as generic
     sql.update(generic.ORACLES)
