@@ -359,19 +359,23 @@ def _q_routed_counts(sf_dir: str):
     the routed files back."""
     import os
     import shutil
+    import tempfile
 
     import ray.data
     from stats_ray.pipelines.usage import route_parsed
 
-    corpus = _corpus(sf_dir)
-    out = f"/tmp/stats_ray_routed/{corpus.rsplit('/', 1)[1]}"
-    shutil.rmtree(out, ignore_errors=True)
-    route_parsed(_parsed(sf_dir), out)
-    rows = []
-    for d in sorted(os.listdir(out)):
-        if d.startswith("format="):
-            n = ray.data.read_parquet(os.path.join(out, d)).count()
-            rows.append({"format": d.split("=", 1)[1], "n": n})
+    # private mkdtemp sink: a fixed shared /tmp path would let two
+    # concurrent harness runs clobber each other mid-write
+    out = tempfile.mkdtemp(prefix="stats_ray_routed_")
+    try:
+        route_parsed(_parsed(sf_dir), out)
+        rows = []
+        for d in sorted(os.listdir(out)):
+            if d.startswith("format="):
+                n = ray.data.read_parquet(os.path.join(out, d)).count()
+                rows.append({"format": d.split("=", 1)[1], "n": n})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     df = pd.DataFrame(rows)
     df["n"] = df["n"].astype("int64")
     return df
@@ -385,17 +389,16 @@ def _sql_routed_counts() -> str:
 def _q_binary_roundtrip(sf_dir: str):
     """M11/S9/A14: encode fixed-width binary rows, sort into the per-format
     db, decode back, recount species usage."""
+    import shutil
     import tempfile
 
     from stats_ray.stages import binary as B
-    corpus = _corpus(sf_dir)
-    db_dir = f"/tmp/stats_ray_db/{corpus.rsplit('/', 1)[1]}"
-    import os
-    import shutil
-    shutil.rmtree(db_dir, ignore_errors=True)
-    os.makedirs(db_dir, exist_ok=True)
-    B.binary_db(_parsed(sf_dir), db_dir)
-    df = B.species_counts_from_db(db_dir).to_pandas()
+    db_dir = tempfile.mkdtemp(prefix="stats_ray_db_")
+    try:
+        B.binary_db(_parsed(sf_dir), db_dir)
+        df = B.species_counts_from_db(db_dir).to_pandas()
+    finally:
+        shutil.rmtree(db_dir, ignore_errors=True)
     df["n"] = df["n"].astype("int64")
     return df
 

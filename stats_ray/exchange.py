@@ -55,7 +55,8 @@ def bucketed_group_map(ds: Dataset, keys: list[str],
                        fn: Callable[[pd.DataFrame], pd.DataFrame | pa.Table],
                        *, nbuckets: int = 64,
                        stable_order: bool = False,
-                       per_group: bool = False) -> Dataset:
+                       per_group: bool = False,
+                       empty: pd.DataFrame | None = None) -> Dataset:
     """One int-keyed exchange + a vectorized per-bucket kernel.
 
     Default (``per_group=False``): ``fn`` receives a pandas DataFrame
@@ -68,23 +69,31 @@ def bucketed_group_map(ds: Dataset, keys: list[str],
     ``per_group=True``: ``fn`` receives each KEY group's frame instead —
     a LOCAL pandas dispatch inside the bucket (~100x cheaper than Ray's
     per-group task dispatch) for kernels that genuinely need one group at
-    a time (all-pairs scoring, order statistics). An empty bucket calls
-    ``fn`` once with the empty frame so output schemas stay concrete —
-    the kernel must return a typed empty result for empty input."""
+    a time (all-pairs scoring, order statistics).
+
+    Empty-bucket contract: an empty bucket calls ``fn`` once with the
+    empty frame so output schemas stay concrete — the kernel must return
+    a typed empty result for empty input. Kernels that can't (e.g. they
+    index ``iloc[0]``) pass ``empty=`` a typed zero-row DataFrame with
+    the output schema; it is returned directly and ``fn`` is never called
+    on empty input."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         return append_bucket(t, keys, nbuckets)
 
     def run(df: pd.DataFrame):
         df = df.drop(columns="bkt__")
-        if stable_order:
-            df = _stable_sort(df)
-        if per_group:
-            parts = [fn(g) for _, g in df.groupby(keys, sort=False)]
-            out = (pd.concat(parts, ignore_index=True) if parts
-                   else fn(df))
+        if df.empty and empty is not None:
+            out = empty.copy()
         else:
-            out = fn(df)
+            if stable_order:
+                df = _stable_sort(df)
+            if per_group:
+                parts = [fn(g) for _, g in df.groupby(keys, sort=False)]
+                out = (pd.concat(parts, ignore_index=True) if parts
+                       else fn(df))
+            else:
+                out = fn(df)
         if isinstance(out, pd.DataFrame):
             out = pa.Table.from_pandas(out, preserve_index=False) \
                 .replace_schema_metadata(None)

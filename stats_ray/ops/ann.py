@@ -511,29 +511,47 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
             ids, mat = _to_matrix(t)
             nm = _normalize(mat)
             near = np.argsort(-(nm @ self.cent.T), axis=1)[:, :probes]
-            tiled = np.tile(nm.astype(np.float64), (probes, 1))
+            # the vector payload is ONE fixed-size-list array; the `probes`
+            # repeats are chunks referencing the SAME values buffer — no
+            # per-row serialization, no x-probes copy of the floats
+            base = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(nm).ravel(), pa.float64()),
+                nm.shape[1])
             return pa.table({
-                "cluster": pa.array(near.T.ravel().astype(np.int32)),
-                "vec_id": pa.array(np.tile(ids, probes), pa.int64()),
-                "vec": pa.array([tiled[i].tobytes()
-                                 for i in range(len(tiled))], pa.binary()),
+                "cluster": pa.chunked_array(
+                    [pa.array(near[:, b].astype(np.int32))
+                     for b in range(probes)]),
+                "vec_id": pa.chunked_array(
+                    [pa.array(ids, pa.int64())] * probes),
+                "vec": pa.chunked_array([base] * probes),
             })
 
+    _EMPTY_PAIRS = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                                 "id2": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _EMPTY_PAIRS.copy()
         ids = g["vec_id"].to_numpy()
-        mat = np.stack([np.frombuffer(b, dtype=np.float64)
-                        for b in g["vec"]])
+        mat = np.stack(g["vec"].to_numpy())
         out = _chunked_cosine_pairs(ids, mat, threshold, all_pairs_cap)
         out["sim"] = np.round(out["sim"], 4)
         return out
 
-    pairs = (ds.map_batches(Assign, batch_format="pyarrow",
-                            concurrency=(1, 8))
-             .groupby("cluster")
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    # cluster count scales linearly with the corpus (k_eff ~ probes*N /
+    # target_bucket), so per-cluster dispatch must be LOCAL pandas inside a
+    # bucketed exchange — Ray-native map_groups pays ~0.2-4 ms per group
+    # (hours of dispatch at 1e9 docs). Buckets sized so each task holds
+    # ~16 clusters regardless of N.
+    nbuckets = max(64, -(-probes * n_total // (target_bucket * 16)))
+    assigned = ds.map_batches(Assign, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    pairs = bucketed_group_map(assigned, ["cluster"], bucket_pairs,
+                               nbuckets=int(nbuckets), per_group=True)
+
     # same pair can surface from two shared probe clusters: distributed
-    # distinct on the pair key (self-pairs from tiling excluded by k=1 triu
-    # only within one cluster row set, so drop id1==id2 too)
+    # distinct on the pair key (drop id1==id2 defensively too)
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["id1"] != df["id2"]]
         return df.drop_duplicates(["id1", "id2"])[["id1", "id2", "sim"]]

@@ -449,6 +449,14 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 def _bloom_positions_int(keys: np.ndarray, n_bits: int) -> np.ndarray:
     """Vectorized k positions per INTEGER key (no per-row hashlib): two
     independent splitmix64 mixes drive the standard double-hash scheme."""
+    keys = np.asarray(keys)
+    if not np.issubdtype(keys.dtype, np.integer):
+        # an int Arrow column with nulls materializes as float + NaN, and
+        # NaN→uint64 is undefined — fail loudly instead of mis-hashing
+        raise ValueError(
+            "bloom int-key path: key column must be integer-typed and "
+            f"non-null (got dtype {keys.dtype}); use the string bloom_build "
+            "or filter/fill nulls upstream")
     k = keys.astype(np.uint64)
     h1 = _mix64(k)
     h2 = _mix64(k ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)

@@ -13,11 +13,20 @@ Shape:
   engines, cluster sizes and repartitioning — the same property
   `ops/text.sample_deterministic` uses, so resumes and re-runs produce
   byte-identical shards. Changing `seed` is a fresh shuffle.
+- the only exchange is ONE hash shuffle keyed by the small int ``shard``
+  column (the bucketed exchange with nbuckets = n_shards); each shard's
+  rows are then ordered by a LOCAL ``sort_values(sort_key)`` inside its
+  bucket.  No global range sort: a global ``sort(["shard","sort_key"])``
+  would sample boundaries and range-partition every corpus byte — the
+  hash exchange moves the same bytes exactly once with no sample stage.
+  Partitioning assumption (documented per the 100-TB contract): pick
+  ``n_shards`` so one shard fits a worker's heap — required anyway for
+  trainers that stream a shard sequentially.
 - the write is ONE `write_parquet(partition_cols=["shard"])` pass (hive
   layout, one directory per shard -> a failed run resumes by skipping
-  finished shard directories; never one giant file). Only the per-shard
-  hash sort is an exchange, and it is keyed by the same shard column the
-  sink partitions by.
+  finished shard directories; never one giant file). The internal
+  ``sort_key`` is dropped before the write — it is recomputable from
+  (seed, doc_id) and is not part of the export contract.
 - the accounting output (per shard: docs, chars, hash range) is a 16-row
   rollup — in-batch partials, then a shard-keyed reduce.
 """
@@ -29,6 +38,7 @@ import hashlib
 import pandas as pd
 from ray.data import Dataset
 
+from ..exchange import bucketed_group_map
 from .text import read_documents
 
 
@@ -52,7 +62,13 @@ def export_shards(sf_dir: str, n_shards: int = 16, seed: int = 7,
                                 batch_format="pandas")
 
     if out_dir is not None:
-        (assigned.sort(["shard", "sort_key"])
+        def order_shard(g: pd.DataFrame) -> pd.DataFrame:
+            # one KEY group == one shard; local sort, no global exchange
+            return (g.sort_values("sort_key", kind="mergesort")
+                    .drop(columns=["sort_key"]))
+
+        (bucketed_group_map(assigned, ["shard"], order_shard,
+                            nbuckets=n_shards, per_group=True)
          .write_parquet(out_dir, partition_cols=["shard"]))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

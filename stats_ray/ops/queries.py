@@ -145,11 +145,15 @@ GROUP BY t.doc_id
 
 
 def _q_export_shards(sf_dir: str):
+    import shutil
     import tempfile
 
     from .export import export_shards
     out = tempfile.mkdtemp(prefix="stats_ray_export_")
-    df = _pd(export_shards(sf_dir, out_dir=out))
+    try:
+        df = _pd(export_shards(sf_dir, out_dir=out))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     for c in ("shard", "n_docs", "n_chars"):
         df[c] = df[c].astype("int64")
     return df

@@ -424,11 +424,27 @@ def hash_join(left: Dataset, right: Dataset, on: str,
     l_types = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     r_types = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
 
+    # enforce the documented integer-key contract up front: a string key
+    # would die with a cryptic numpy cast deep in the pipeline, and a
+    # nullable key (NaN float) would mis-bucket silently
+    for side, types in (("left", l_types), ("right", r_types)):
+        kt = types.get(on)
+        if kt is None or not pa.types.is_integer(kt):
+            raise ValueError(
+                f"hash_join: join key {on!r} on the {side} side must be an "
+                f"integer column (got {kt}); cast or re-key upstream")
+
     # uint64 splitmix-style mix so sequential int keys spread across buckets
     mult = np.uint64(0x9E3779B97F4A7C15)
 
     def bucket_of(keys: pa.ChunkedArray) -> pa.Array:
-        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = keys.to_numpy(zero_copy_only=False)
+        if not np.issubdtype(k.dtype, np.integer):
+            # an int Arrow column with nulls materializes as float + NaN
+            raise ValueError(
+                f"hash_join: join key {on!r} contains nulls — NaN→uint64 "
+                "conversion would mis-bucket rows; filter or fill upstream")
+        k = k.astype(np.uint64)
         with np.errstate(over="ignore"):
             h = k * mult
             h ^= h >> np.uint64(29)
@@ -496,10 +512,12 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(lpart, orders, on="o_orderkey",
                        left_cols=["l_returnflag", "revenue", "n_items"],
                        right_cols=["o_orderpriority"], how="inner")
-    out = (joined.groupby(["o_orderpriority", "l_returnflag"])
-           .aggregate(Sum("revenue", alias_name="revenue"),
-                      Sum("n_items", alias_name="n_items"))
-           .to_pandas())
+    # bucketed_agg, not native Sum: the float revenue rollup gets the
+    # canonical row-hash presort, so the sum is order-deterministic
+    out = bucketed_agg(joined, ["o_orderpriority", "l_returnflag"],
+                       {"revenue": ("revenue", "sum"),
+                        "n_items": ("n_items", "sum")},
+                       nbuckets=8).to_pandas()
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values(["o_orderpriority", "l_returnflag"],
                            ignore_index=True)
@@ -546,13 +564,13 @@ def customer_order_counts(sf_dir: str) -> pd.DataFrame:
                 [["n_customers", "no_order", "n_orders", "total_spend"]]
                 .sum())
 
-    out = (joined.map_batches(seg_partial, batch_format="pandas")
-           .groupby("c_mktsegment")
-           .aggregate(Sum("n_customers", alias_name="n_customers"),
-                      Sum("no_order", alias_name="n_zero_order"),
-                      Sum("n_orders", alias_name="n_orders"),
-                      Sum("total_spend", alias_name="total_spend"))
-           .to_pandas())
+    out = bucketed_agg(joined.map_batches(seg_partial, batch_format="pandas"),
+                       ["c_mktsegment"],
+                       {"n_customers": ("n_customers", "sum"),
+                        "n_zero_order": ("no_order", "sum"),
+                        "n_orders": ("n_orders", "sum"),
+                        "total_spend": ("total_spend", "sum")},
+                       nbuckets=8).to_pandas()
     for c in ("n_customers", "n_zero_order", "n_orders"):
         out[c] = out[c].astype("int64")
     return out.sort_values("c_mktsegment", ignore_index=True)
@@ -626,11 +644,11 @@ def orders_building_segment(sf_dir: str, segment: str = "BUILDING"
                 .agg(n_orders=("n_orders", "sum"),
                      total_price=("o_totalprice", "sum")))
 
-    out = (joined.map_batches(partial, batch_format="pandas")
-           .groupby("o_orderpriority")
-           .aggregate(Sum("n_orders", alias_name="n_orders"),
-                      Sum("total_price", alias_name="total_price"))
-           .to_pandas())
+    out = bucketed_agg(joined.map_batches(partial, batch_format="pandas"),
+                       ["o_orderpriority"],
+                       {"n_orders": ("n_orders", "sum"),
+                        "total_price": ("total_price", "sum")},
+                       nbuckets=8).to_pandas()
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority", ignore_index=True)
 

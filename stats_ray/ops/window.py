@@ -127,17 +127,22 @@ def events_asof_prior_view(sf_dir: str) -> pd.DataFrame:
 # --- running (cumulative) window --------------------------------------------
 
 def cumulative_per_key(ds: Dataset, key: str, order: list[str],
-                       fn) -> Dataset:
+                       fn, empty: "pd.DataFrame | None" = None) -> Dataset:
     """Running-window scaffold: ONE bucketed hash exchange on `key`, stable
     sort by (key, *order) inside the bucket, then the per-key kernel runs as
     a LOCAL pandas groupby-apply — Ray-level per-group dispatch at user
     cardinality is what this avoids. Kernels that vectorize across key
     boundaries (grouped cumsum/cumcount) should bypass this scaffold and
-    write a bucket-level kernel directly (see events_cum_user)."""
+    write a bucket-level kernel directly (see events_cum_user).
+
+    Empty-bucket contract (see exchange.bucketed_group_map): `fn` may be
+    called once with a zero-row frame and must return a typed empty result;
+    kernels that can't (positional indexing etc.) pass `empty=` a typed
+    zero-row DataFrame with the output schema instead."""
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.sort_values(order, kind="stable").reset_index(drop=True))
 
-    return bucketed_group_map(ds, [key], run, per_group=True)
+    return bucketed_group_map(ds, [key], run, per_group=True, empty=empty)
 
 
 def events_cum_user(sf_dir: str) -> pd.DataFrame:

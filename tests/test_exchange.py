@@ -82,3 +82,35 @@ def test_bucketed_agg_float_sum_deterministic(ray_session):
     shuffled = df.sample(frac=1.0, random_state=13).reset_index(drop=True)
     b = _norm(_agg_via_exchange(shuffled, ["k"], {"s": ("v", "sum")}), ["k"])
     assert (a["s"].to_numpy() == b["s"].to_numpy()).all()  # bitwise
+
+
+def test_per_group_empty_schema_contract(ray_session):
+    """`empty=` shields kernels that can't handle a zero-row frame: the
+    kernel is never invoked on empty input and the dataset still carries
+    the declared output schema."""
+    import ray.data
+
+    from stats_ray.exchange import bucketed_group_map
+
+    df = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                       "v": pd.Series(dtype="float64")})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # positional indexing — would raise on a zero-row frame
+        return pd.DataFrame({"k": [int(g["k"].iloc[0])],
+                             "top": [float(g["v"].max())]})
+
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "top": pd.Series(dtype="float64")})
+    # zero-row input: must not crash in the kernel (Ray may probe map_groups
+    # fns with an empty frame; without empty= this kernel would IndexError)
+    out = bucketed_group_map(ray.data.from_pandas(df), ["k"], kernel,
+                             per_group=True, empty=empty).to_pandas()
+    assert len(out) == 0
+
+    # and on non-empty input the kernel path is unchanged
+    df2 = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 3.0, 2.0]})
+    out2 = (bucketed_group_map(ray.data.from_pandas(df2), ["k"], kernel,
+                               per_group=True, empty=empty)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out2["top"]) == [3.0, 2.0]

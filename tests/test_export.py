@@ -44,23 +44,36 @@ def test_export_shards_deterministic_and_complete(doc_corpus):
 
 
 def test_export_writes_hive_layout_sorted(doc_corpus, tmp_path):
+    """The hash-exchange write path must reproduce, per shard, exactly the
+    row sequence the old global `sort(["shard","sort_key"])` path produced
+    (minus the internal sort_key column, which is not part of the export)."""
+    import hashlib
+
     from stats_ray.ops.export import export_shards
 
     out = str(tmp_path / "export")
     stats = export_shards(doc_corpus, n_shards=4, out_dir=out).to_pandas()
     dirs = sorted(glob.glob(f"{out}/shard=*"))
     assert len(dirs) == len(stats)          # one directory per shard
+
+    # reference = the old path, computed directly: global sort by
+    # (shard, md5 key), grouped by shard
+    ref = pd.read_parquet(f"{doc_corpus}/documents.parquet")
+    ref["sort_key"] = ref["doc_id"].map(
+        lambda i: hashlib.md5(f"7:{i}".encode()).hexdigest())
+    ref["shard"] = ref["sort_key"].str.slice(0, 8).map(
+        lambda s: int(s, 16)) % 4
+    ref = ref.sort_values(["shard", "sort_key"], kind="mergesort")
+
     total = 0
     for d in dirs:
-        files = [pd.read_parquet(p) for p in glob.glob(f"{d}/*")]
-        total += sum(len(f) for f in files)
-        # every file is internally sorted, and file key-ranges are disjoint
-        # (the global sort range-partitions blocks) — so a reader consuming
-        # files in min-key order streams the shard fully ordered
-        for f in files:
-            assert f["sort_key"].is_monotonic_increasing
-        spans = sorted((f["sort_key"].iloc[0], f["sort_key"].iloc[-1])
-                       for f in files if len(f))
-        for (_, hi), (lo, _) in zip(spans, spans[1:]):
-            assert hi <= lo
+        shard = int(d.rsplit("=", 1)[1])
+        files = [pd.read_parquet(p) for p in sorted(glob.glob(f"{d}/*"))]
+        got = pd.concat(files, ignore_index=True)
+        assert "sort_key" not in got.columns    # internal column dropped
+        total += len(got)
+        want = ref[ref["shard"] == shard]
+        # identical row sequence to the old global-sort path
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["text"]) == list(want["text"])
     assert total == 300
