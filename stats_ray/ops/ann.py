@@ -40,13 +40,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _lowest_ids(ds: Dataset, n: int) -> pd.DataFrame:
+    """The n rows with the smallest vec_id — per-block min-k partials
+    (argpartition inside map_batches) + a tiny driver merge, instead of a
+    global `sort(...).limit(n)` whose range exchange moves every row to
+    pick a handful."""
+    def blk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        if len(ids) > n:
+            idx = np.sort(np.argpartition(ids, n)[:n])
+            t = t.take(pa.array(idx))
+        return t
+
+    cand = ds.map_batches(blk, batch_format="pyarrow").to_pandas()
+    return (cand.nsmallest(n, "vec_id").sort_values("vec_id")
+            .reset_index(drop=True))
+
+
 def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
     """Top-k cosine neighbors for the n_queries lowest vec_ids (excluding
     self). Deterministic tiebreak: (sim desc, neighbor_id asc)."""
     ds = read_embeddings(sf_dir)
 
     # small side: the query matrix — materialized once, broadcast via ray.put
-    head = ds.sort("vec_id").limit(n_queries).to_pandas()
+    head = _lowest_ids(ds, n_queries)
     q_ids = head["vec_id"].to_numpy()
     q = _normalize(np.stack(head["embedding"].to_numpy()).astype(np.float64))
     q_ref = ray.put((q_ids, q))
@@ -245,7 +262,7 @@ def lsh_bucketed_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     against same-bucket vectors (plus the query's bucket neighbors by 1-bit
     flips). Approximate — returns the same schema as brute_force_topk."""
     ds = read_embeddings(sf_dir)
-    head = ds.sort("vec_id").limit(n_queries).to_pandas()
+    head = _lowest_ids(ds, n_queries)
     q_ids = head["vec_id"].to_numpy()
     qm = _normalize(np.stack(head["embedding"].to_numpy()).astype(np.float64))
     dim = qm.shape[1]
@@ -335,7 +352,7 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     tmat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
     cent = _kmeans(tmat, n_clusters)
 
-    head = ds.sort("vec_id").limit(n_queries).to_pandas()
+    head = _lowest_ids(ds, n_queries)
     q_ids = head["vec_id"].to_numpy()
     q = _normalize(np.stack(head["embedding"].to_numpy()).astype(np.float64))
     # nprobe nearest clusters per query

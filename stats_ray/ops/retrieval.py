@@ -84,6 +84,73 @@ def inverted_index(sf_dir: str, max_df: int | None = None) -> Dataset:
                               ["token"], per_token)
 
 
+def _token_pairs(sf_dir: str) -> Dataset:
+    """Distinct (token, doc_id) pairs, per batch (shared by both index
+    shapes)."""
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        ids: list[int] = []
+        for i, t in zip(df["doc_id"], df["text"]):
+            seen = {w for w in _SPLIT.split(t.lower()) if w}
+            toks.extend(seen)
+            ids.extend([int(i)] * len(seen))
+        return pd.DataFrame({"token": pd.Series(toks, dtype="object"),
+                             "doc_id": pd.Series(ids, dtype="int64")})
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(pairs, batch_format="pandas")
+
+
+def write_posting_index(sf_dir: str, out_dir: str,
+                        max_df: int | None = None) -> None:
+    """Production index shape: (token, df, postings: list<int64>) Parquet.
+
+    Same ONE token-bucketed exchange as `inverted_index`, but postings are
+    written as a typed Arrow list column instead of the oracle-neutral
+    comma string — zero-copy for readers, and Parquet stats on `token`
+    give lookups row-group pruning. Each exchange bucket lands as its own
+    file, so a partial write resumes per bucket."""
+    import pyarrow as pa
+
+    def per_token(df: pd.DataFrame) -> pa.Table:
+        df = (df.drop_duplicates(["token", "doc_id"])
+              .sort_values(["token", "doc_id"]))
+        if max_df is not None and not df.empty:
+            keep = df.groupby("token", sort=False)["doc_id"] \
+                .transform("size") <= max_df
+            df = df[keep]
+        if df.empty:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.list_(pa.int64()))})
+        sizes = df.groupby("token", sort=False)["doc_id"].size()
+        offsets = np.concatenate(([0], np.cumsum(sizes.to_numpy())))
+        postings = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(df["doc_id"].to_numpy(), pa.int64()))
+        return pa.table({"token": pa.array(sizes.index, pa.string()),
+                         "df": pa.array(sizes.to_numpy(), pa.int64()),
+                         "postings": postings})
+
+    (bucketed_group_map(_token_pairs(sf_dir), ["token"], per_token)
+     .write_parquet(out_dir))
+
+
+def lookup_postings(index_dir: str, token: str) -> "np.ndarray":
+    """Serve one term from the written Parquet index: predicate-pushdown
+    read (token row-group stats prune untouched files/groups), returns the
+    ascending doc_id posting array. Empty array for an unseen token."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(index_dir, format="parquet")
+    t = dset.to_table(columns=["postings"],
+                      filter=pc.field("token") == token)
+    if len(t) == 0:
+        return np.array([], dtype=np.int64)
+    return t["postings"].combine_chunks().flatten().to_numpy()
+
+
 def bm25_topk(sf_dir: str, terms: tuple[str, ...] = DEFAULT_QUERY,
               k: int = 10) -> pd.DataFrame:
     """Top-k docs by BM25 score for `terms` (deterministic ties:

@@ -174,47 +174,129 @@ FAMILY_COLUMNS = {
 }
 
 
+class AggSpill:
+    """Streaming hand-off from the aggregate families to the driver-side
+    renderers: every family is written to a per-format hive-partitioned
+    Parquet spill, and the renderer re-reads ONE format's slice at a time.
+    The driver never holds all formats of all families at once — at a
+    100x-format fan-out the peak driver footprint is one format's
+    aggregate rows, not the whole species x kind x cutoff matrix."""
+
+    def __init__(self, parsed: Dataset, spill_dir: str):
+        import os
+
+        self.dirs: dict[str, str] = {}
+        for name, ds in report_aggs(parsed).items():
+            d = os.path.join(spill_dir, name)
+            ds.write_parquet(d, partition_cols=["format"])
+            self.dirs[name] = d
+        self.parts = {name: self._partitions(d)
+                      for name, d in self.dirs.items()}
+        self._empties: dict[str, "pd.DataFrame"] = {}
+
+    @staticmethod
+    def _partitions(d: str) -> dict[str, str]:
+        import os
+        from urllib.parse import unquote
+
+        out = {}
+        if os.path.isdir(d):
+            for sub in os.listdir(d):
+                if sub.startswith("format="):
+                    out[unquote(sub.split("=", 1)[1])] = os.path.join(d, sub)
+        return out
+
+    def _empty(self, name: str) -> "pd.DataFrame":
+        """Typed zero-row frame for a family with no rows in a format
+        (schema from any written file; hive drops the format column, so it
+        is re-added as a string)."""
+        import glob
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        if name not in self._empties:
+            files = glob.glob(os.path.join(self.dirs[name], "format=*", "*"))
+            if files:
+                df = pq.read_schema(files[0]).empty_table().to_pandas()
+                df.insert(0, "format", pd.Series(dtype="object"))
+            else:
+                df = pd.DataFrame()
+            self._empties[name] = df
+        return self._empties[name].copy()
+
+    def formats(self) -> list[str]:
+        """Formats present in the battle-count family (the render driver)."""
+        return sorted(self.parts.get("battles", {}))
+
+    def load(self, fmt: str) -> dict[str, "pd.DataFrame"]:
+        """One format's slice of every family (pruned read of one hive
+        directory per family)."""
+        import pandas as pd
+
+        out = {}
+        for name in self.dirs:
+            sub = self.parts[name].get(fmt)
+            if sub is None:
+                out[name] = self._empty(name)
+            else:
+                df = pd.read_parquet(sub)
+                df.insert(0, "format", fmt)
+                out[name] = df
+        return out
+
+
 def render_reports(parsed: Dataset, out_dir: str, *, formats=None,
                    dex_name: str = "synth") -> dict:
-    """S7 report fan-out: compute the report-feeding aggregates once, then
-    render the 5 legacy reports + display JSON per (format, cutoff) into
-    out_dir/{usage,leads,moveset,chaos,metagame,display}/.
+    """S7 report fan-out: compute the report-feeding aggregates once, spill
+    them per-format, then render the 5 legacy reports + display JSON per
+    (format, cutoff) into out_dir/{usage,leads,moveset,chaos,metagame,display}/.
 
-    Returns {(format, cutoff): paths}. Aggregates stream through Ray; the
-    per-(format, cutoff) render is driver-side small work."""
+    Returns {(format, cutoff): paths}. Aggregates stream through Ray into
+    the per-format spill; the driver re-reads one format at a time (see
+    AggSpill), so its footprint never scales with the number of formats."""
     import os
+    import shutil
+    import tempfile
 
     from ..gendex import get_dex
     from ..stages import reports as R
 
     dx = get_dex(dex_name)
-    aggs = {name: ds.to_pandas() for name, ds in report_aggs(parsed).items()}
-    pairs = (aggs["battles"][["format", "cutoff"]]
-             .drop_duplicates().itertuples(index=False))
+    spill_dir = tempfile.mkdtemp(prefix="stats_ray_aggspill_")
     written = {}
-    for fmt, cutoff in pairs:
-        if formats and fmt not in formats:
-            continue
-        view = R.collect_view(aggs, fmt, int(cutoff), dx)
-        movesets = R.to_moveset_statistics(view, fmt)
-        outputs = {
-            "usage": R.usage_report(view),
-            "leads": R.leads_report(view),
-            "moveset": R.moveset_report(view, movesets),
-            "chaos": R.detailed_moveset_report(view, movesets=movesets),
-            "metagame": R.metagame_report(view),
-            "display": R.display_statistics(view),
-        }
-        paths = {}
-        for kind, text in outputs.items():
-            ext = "json" if kind in ("chaos", "display") else "txt"
-            d = os.path.join(out_dir, kind)
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"{fmt}-{int(cutoff)}.{ext}")
-            with open(path, "w") as f:
-                f.write(text)
-            paths[kind] = path
-        written[(fmt, int(cutoff))] = paths
+    try:
+        spill = AggSpill(parsed, spill_dir)
+        for fmt in spill.formats():
+            if formats and fmt not in formats:
+                continue
+            aggs = spill.load(fmt)
+            cutoffs = sorted(aggs["battles"]["cutoff"].unique())
+            for cutoff in cutoffs:
+                view = R.collect_view(aggs, fmt, int(cutoff), dx)
+                movesets = R.to_moveset_statistics(view, fmt)
+                outputs = {
+                    "usage": R.usage_report(view),
+                    "leads": R.leads_report(view),
+                    "moveset": R.moveset_report(view, movesets),
+                    "chaos": R.detailed_moveset_report(view,
+                                                       movesets=movesets),
+                    "metagame": R.metagame_report(view),
+                    "display": R.display_statistics(view),
+                }
+                paths = {}
+                for kind, text in outputs.items():
+                    ext = "json" if kind in ("chaos", "display") else "txt"
+                    d = os.path.join(out_dir, kind)
+                    os.makedirs(d, exist_ok=True)
+                    path = os.path.join(d, f"{fmt}-{int(cutoff)}.{ext}")
+                    with open(path, "w") as f:
+                        f.write(text)
+                    paths[kind] = path
+                written[(fmt, int(cutoff))] = paths
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
     return written
 
 
@@ -333,48 +415,51 @@ def render_monotype_reports(parsed: Dataset, out_dir: str,
     from ..gendex import get_dex
     from ..stages import reports as R
 
+    import shutil
+    import tempfile
+
     dx = get_dex(dex_name)
     tags = list(tags or dexmod.MONOTYPE_SHARDS)
     shards = explode_tag_shards(parsed, fmt, tags).materialize()
     if shards.count() == 0:
         return {}
-    aggs_all = {name: ds.to_pandas()
-                for name, ds in report_aggs(shards).items()}
+    spill_dir = tempfile.mkdtemp(prefix="stats_ray_monospill_")
     written = {}
-    for tag in tags:
-        comp = f"{fmt}{dexmod.SHARD_SEP}{tag}"
-        aggs = {}
-        for name, df in aggs_all.items():
-            if df.empty or "format" not in df.columns:
-                aggs[name] = df
-                continue
-            sub = df[df["format"] == comp]
-            if len(sub):
-                sub = sub.copy()
-                sub["format"] = fmt
-            aggs[name] = sub
-        for cutoff in dexmod.cutoffs_for(fmt):
-            view = R.collect_view(aggs, fmt, cutoff, dx)
-            movesets = R.to_moveset_statistics(view, fmt)
-            outputs = {
-                "usage": R.usage_report(view),
-                "leads": R.leads_report(view),
-                "moveset": R.moveset_report(view, movesets),
-                "chaos": R.detailed_moveset_report(view, tag=tag,
-                                                   movesets=movesets),
-                "metagame": R.metagame_report(view),
-                "display": R.display_statistics(view),
-            }
-            d = os.path.join(out_dir, "monotype", tag)
-            os.makedirs(d, exist_ok=True)
-            paths = {}
-            for kind, text in outputs.items():
-                ext = "json" if kind in ("chaos", "display") else "txt"
-                path = os.path.join(d, f"{fmt}-{cutoff}.{kind}.{ext}")
-                with open(path, "w") as f:
-                    f.write(text)
-                paths[kind] = path
-            written[(tag, cutoff)] = paths
+    try:
+        # per-shard streaming render: each composite '<fmt>\x1f<tag>' key is
+        # a hive partition of the spill, loaded one tag at a time — the
+        # driver never holds all 19 shards' aggregates at once
+        spill = AggSpill(shards, spill_dir)
+        for tag in tags:
+            comp = f"{fmt}{dexmod.SHARD_SEP}{tag}"
+            aggs = spill.load(comp)
+            for name, df in aggs.items():
+                if len(df) and "format" in df.columns:
+                    df["format"] = fmt
+            for cutoff in dexmod.cutoffs_for(fmt):
+                view = R.collect_view(aggs, fmt, cutoff, dx)
+                movesets = R.to_moveset_statistics(view, fmt)
+                outputs = {
+                    "usage": R.usage_report(view),
+                    "leads": R.leads_report(view),
+                    "moveset": R.moveset_report(view, movesets),
+                    "chaos": R.detailed_moveset_report(view, tag=tag,
+                                                       movesets=movesets),
+                    "metagame": R.metagame_report(view),
+                    "display": R.display_statistics(view),
+                }
+                d = os.path.join(out_dir, "monotype", tag)
+                os.makedirs(d, exist_ok=True)
+                paths = {}
+                for kind, text in outputs.items():
+                    ext = "json" if kind in ("chaos", "display") else "txt"
+                    path = os.path.join(d, f"{fmt}-{cutoff}.{kind}.{ext}")
+                    with open(path, "w") as f:
+                        f.write(text)
+                    paths[kind] = path
+                written[(tag, cutoff)] = paths
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
     return written
 
 

@@ -469,6 +469,37 @@ def test_inverted_index_max_df_prunes_stopwords(ray_session, tmp_path):
     assert set(out["token"]) == {"alpha", "beta", "gamma"}
 
 
+def test_posting_index_parquet_roundtrip(ray_session, tmp_path):
+    """Production index shape: list<int64> postings written to Parquet,
+    served back by a predicate-pushdown term lookup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.retrieval import lookup_postings, write_posting_index
+    texts = ["alpha beta alpha", "beta gamma", "alpha delta", "the delta"]
+    pq.write_table(pa.table({"doc_id": pa.array([5, 3, 9, 1], pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    idx = str(tmp_path / "index")
+    write_posting_index(str(tmp_path), idx)
+
+    # written schema is the typed production shape
+    import glob as _glob
+    f = pq.read_table(sorted(_glob.glob(f"{idx}/*.parquet"))[0])
+    assert f.schema.field("postings").type == pa.list_(pa.int64())
+
+    assert lookup_postings(idx, "alpha").tolist() == [5, 9]
+    assert lookup_postings(idx, "beta").tolist() == [3, 5]
+    assert lookup_postings(idx, "delta").tolist() == [1, 9]
+    assert lookup_postings(idx, "nosuchterm").tolist() == []
+
+    # max_df pruning applies to the written index too
+    idx2 = str(tmp_path / "index2")
+    write_posting_index(str(tmp_path), idx2, max_df=1)
+    assert lookup_postings(idx2, "alpha").tolist() == []
+    assert lookup_postings(idx2, "gamma").tolist() == [3]
+
+
 def test_clean_pack_only_kept_docs_packed(ray_session, con):
     """Composed clean->pack: packed doc set == clean_corpus kept set, and
     prefix sums are contiguous in doc_id order."""
