@@ -7,6 +7,9 @@ Usage:
   python -m stats_ray.cli reports --corpus DIR --out DIR [--formats f1,f2]
   python -m stats_ray.cli anon   --corpus DIR --out DIR [--salt S] [--rate R]
   python -m stats_ray.cli db     --corpus DIR --out DIR
+  python -m stats_ray.cli db-cutoff  --db DIR --percentile 0.9
+  python -m stats_ray.cli db-sizes   --db DIR [--cutoff 1630]
+  python -m stats_ray.cli db-display --db DIR [--cutoff 1630] [--moves N]
   python -m stats_ray.cli tiers  --corpus DIR --out FILE
   python -m stats_ray.cli synth  --sf 0.01 [--n N]
 
@@ -94,6 +97,40 @@ def cmd_db(args):
     parsed = parse_pipeline(args.corpus)
     binary_db(parsed, args.out)
     print(json.dumps({"rows": ray.data.read_parquet(args.out).count()}))
+
+
+def cmd_db_cutoff(args):
+    """tools/stats `cutoff` analogue: percentile of the binary db's codec
+    ratings per format."""
+    _ray()
+    import ray.data
+    from .stages.binary import db_rating_percentile
+    df = db_rating_percentile(ray.data.read_parquet(args.db),
+                              args.percentile)
+    print(df.to_json(orient="records"))
+
+
+def cmd_db_sizes(args):
+    """tools/stats `sizes` analogue: percentile table of per-species
+    qualifying move/item counts at a weighting cutoff."""
+    _ray()
+    import ray.data
+    from .stages.binary import binary_stats_tables, db_sizes_table
+    stats = binary_stats_tables(ray.data.read_parquet(args.db),
+                                cutoff=args.cutoff).to_pandas()
+    print(db_sizes_table(stats).to_json(orient="records"))
+
+
+def cmd_db_display(args):
+    """tools/stats `display --report=pokemon` analogue: per-format JSON of
+    species usage/lead/move/item percentages from the binary db."""
+    _ray()
+    import ray.data
+    from .stages.binary import binary_stats_tables, db_display_pokemon
+    stats = binary_stats_tables(ray.data.read_parquet(args.db),
+                                cutoff=args.cutoff).to_pandas()
+    print(json.dumps(db_display_pokemon(stats, n_moves=args.moves,
+                                        n_items=args.items)))
 
 
 def cmd_tiers(args):
@@ -193,6 +230,23 @@ def main(argv=None):
     sp.add_argument("--corpus", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_db)
+
+    sp = sub.add_parser("db-cutoff")
+    sp.add_argument("--db", required=True)
+    sp.add_argument("--percentile", type=float, required=True)
+    sp.set_defaults(fn=cmd_db_cutoff)
+
+    sp = sub.add_parser("db-sizes")
+    sp.add_argument("--db", required=True)
+    sp.add_argument("--cutoff", type=float, default=1630.0)
+    sp.set_defaults(fn=cmd_db_sizes)
+
+    sp = sub.add_parser("db-display")
+    sp.add_argument("--db", required=True)
+    sp.add_argument("--cutoff", type=float, default=1630.0)
+    sp.add_argument("--moves", type=int, default=20)
+    sp.add_argument("--items", type=int, default=5)
+    sp.set_defaults(fn=cmd_db_display)
 
     sp = sub.add_parser("tiers")
     sp.add_argument("--corpus", required=True)

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as `binary` columns with struct metadata; decode /
-resize / frame-sample are actor-pool map_batches stages. The actual codec
-libraries are not in this container, so the decode kernel is STUBBED:
-`ImageDecode(fake=False)` raises NotImplementedError, while `fake=True`
-substitutes a deterministic byte-statistics "decode" so the Ray-side
-plumbing (schema, batch sizing, actor signature, output layout) is real and
-tested.
+resize / frame-sample are actor-pool map_batches stages. Decode is REAL for
+container-decodable formats — PNG (8-bit, non-interlaced; stdlib zlib +
+the public RFC 2083 filter algorithms) and binary PPM/PGM — and falls back
+to PIL when installed (optional import). Formats needing external codec
+libraries (JPEG/audio/video) raise NotImplementedError with a declared
+reason when PIL is absent. `fake=True` keeps the deterministic
+byte-statistics stand-in for oracle checks independent of any codec.
 
 Scale notes: binary payloads force small `batch_size` (payload x batch x
 concurrency must fit worker heaps) and a larger `target_max_block_size` so
@@ -16,6 +17,8 @@ blocks aren't split absurdly small; both are exposed as knobs here.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -54,19 +57,158 @@ def synthesize_media(n: int = 256, seed: int = 5) -> Dataset:
                                          batch_size=64)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5): header tokens then raw samples."""
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(b) and b[i:i + 1].isspace():
+            i += 1
+        if b[i:i + 1] == b"#":                      # comment to EOL
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j:j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    i += 1                                          # single whitespace
+    w, h, maxval = (int(x) for x in toks)
+    if maxval > 255:
+        raise NotImplementedError("PPM: 16-bit samples unsupported")
+    ch = 3 if b[:2] == b"P6" else 1
+    arr = np.frombuffer(b, np.uint8, count=w * h * ch, offset=i)
+    return arr.reshape(h, w, ch)
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Minimal PNG decode (public RFC 2083): 8-bit, non-interlaced,
+    gray / RGB / gray+alpha / RGBA. Stdlib zlib inflate + the five
+    per-scanline unfilter algorithms."""
+    pos, idat = 8, []
+    w = h = ch = None
+    while pos < len(b):
+        (length,) = _struct.unpack(">I", b[pos:pos + 4])
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                _struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG: only 8-bit non-interlaced gray/RGB[A] supported "
+                    f"(depth={depth} color={color} interlace={interlace})")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        f = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:                                # Up
+            cur = (line + prev) & 255
+        elif f in (1, 3, 4):                        # Sub / Average / Paeth
+            cur = line
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                bb = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                else:
+                    p = a + bb - c
+                    pa_, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else \
+                        (bb if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 255
+        else:
+            raise ValueError(f"PNG: unknown filter {f}")
+        out[y] = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_image_bytes(b: bytes) -> np.ndarray:
+    """Decode an encoded image payload to an (h, w, channels) uint8 array.
+    PNG + binary PPM/PGM decode natively; anything else uses PIL when
+    installed (optional import) and otherwise raises with the declared
+    reason."""
+    if b[:8] == _PNG_MAGIC:
+        return _decode_png(b)
+    if b[:2] in (b"P5", b"P6"):
+        return _decode_ppm(b)
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+    except ImportError:
+        raise NotImplementedError(
+            "image decode for this format requires PIL, which is not "
+            "installed in this container (PNG and binary PPM/PGM decode "
+            "natively)")
+    arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    return arr
+
+
+REAL_FEATURES_TYPE = pa.struct([
+    ("n_bytes", pa.int64()), ("width", pa.int32()), ("height", pa.int32()),
+    ("channels", pa.int32()), ("mean_pixel", pa.float64()),
+    ("digest", pa.string())])
+
+
 class ImageDecode:
-    """Actor-pool decode stage. Real decode requires PIL/ffmpeg (absent here):
-    construct with fake=True for the deterministic byte-stats stand-in."""
+    """Actor-pool decode stage.
+
+    fake=False (default) REALLY decodes image payloads (PNG / PPM natively,
+    PIL for other formats when installed) and emits per-image pixel
+    features; non-image kinds and undecodable formats raise. fake=True is
+    the deterministic byte-stats stand-in used by the codec-independent
+    oracle query."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "image/audio decode requires codec libraries not present in "
-                "this container; construct ImageDecode(fake=True) for the "
-                "deterministic stand-in")
+            feats = []
+            for mid, kind, p in zip(t["media_id"].to_pylist(),
+                                    t["kind"].to_pylist(),
+                                    t["payload"].to_pylist()):
+                if kind != "image":
+                    raise NotImplementedError(
+                        f"{kind} decode requires codec libraries not in "
+                        f"this container (media_id={mid}); filter to "
+                        f"kind == 'image' upstream or use fake=True")
+                img = decode_image_bytes(p)
+                feats.append({
+                    "n_bytes": len(p),
+                    "width": int(img.shape[1]),
+                    "height": int(img.shape[0]),
+                    "channels": int(img.shape[2]),
+                    "mean_pixel": float(img.mean()),
+                    "digest": hashlib.blake2b(img.tobytes(),
+                                              digest_size=8).hexdigest(),
+                })
+            return pa.table({
+                "media_id": t["media_id"], "kind": t["kind"],
+                "features": pa.array(feats, type=REAL_FEATURES_TYPE),
+            })
         payloads = t["payload"].to_pylist()
         feats = []
         for p in payloads:

@@ -275,6 +275,160 @@ def binary_stats_tables(db: Dataset, cutoff: float = 1630.0) -> Dataset:
                         {"weight": ("weight", "sum")})
 
 
+def _ptile(sorted_vals: np.ndarray, p: float) -> float:
+    """Linear-interpolated percentile over a SORTED array — the reference
+    CLI's ptile (tools/stats:20-32): index=(n-1)*p, lerp between the two
+    bracketing ranks."""
+    n = len(sorted_vals)
+    if n == 0:
+        return 0.0
+    if p <= 0:
+        return float(sorted_vals[0])
+    if p >= 1:
+        return float(sorted_vals[-1])
+    index = (n - 1) * p
+    lower = int(np.floor(index))
+    weight = index - lower
+    if lower + 1 >= n:
+        return float(sorted_vals[lower])
+    return float(sorted_vals[lower] * (1 - weight)
+                 + sorted_vals[lower + 1] * weight)
+
+
+def _hist_ptile(vals: np.ndarray, counts: np.ndarray, p: float) -> float:
+    """_ptile over a value histogram WITHOUT expanding it: the expanded
+    sorted array's element at rank r is the first value whose cumulative
+    count exceeds r."""
+    n = int(counts.sum())
+    if n == 0:
+        return 0.0
+    if p <= 0:
+        return float(vals[0])
+    if p >= 1:
+        return float(vals[-1])
+    cum = np.cumsum(counts)
+
+    def at(rank: int) -> float:
+        return float(vals[np.searchsorted(cum, rank, side="right")])
+
+    index = (n - 1) * p
+    lower = int(np.floor(index))
+    weight = index - lower
+    if lower + 1 >= n:
+        return at(lower)
+    return at(lower) * (1 - weight) + at(lower + 1) * weight
+
+
+def db_rating_percentile(db: Dataset, percentile: float) -> pd.DataFrame:
+    """tools/stats `cutoff` analogue (tools/stats:75-98) over the binary
+    db: per-format linear-interpolated percentile of BOTH players' codec
+    ratings (unrated sides skipped).
+
+    Scale shape: codec ratings are discrete u16s, so each batch emits a
+    (format, rpr) count partial; the exchange is vocabulary-sized
+    (formats x distinct ratings) and the driver interpolates over the tiny
+    histogram — the full rating list never materializes anywhere."""
+    from ..exchange import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = t["row"].combine_chunks()
+        buf = b"".join(raw.to_pylist())
+        n = len(t)
+        rows = np.frombuffer(buf, dtype=np.uint8).reshape(n, ROW_SIZE)
+        fmt = t["format"].to_numpy(zero_copy_only=False)
+        frames = []
+        for j in range(2):
+            off = 12 + 3 * j
+            rpr = rows[:, off:off + 2].copy().view("<u2").reshape(n)
+            has = rpr != 0xFFFF
+            frames.append(pd.DataFrame({"format": fmt[has],
+                                        "rpr": rpr[has].astype(np.int64),
+                                        "n": 1}))
+        df = pd.concat(frames, ignore_index=True)
+        out = df.groupby(["format", "rpr"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    hist = bucketed_agg(db.map_batches(partial, batch_format="pyarrow"),
+                        ["format", "rpr"], {"n": ("n", "sum")}).to_pandas()
+    rows = []
+    for fmt, g in hist.groupby("format", sort=True):
+        g = g.sort_values("rpr")
+        rows.append({
+            "format": fmt,
+            "n_ratings": int(g["n"].sum()),
+            "percentile": _hist_ptile(g["rpr"].to_numpy(),
+                                      g["n"].to_numpy(), percentile),
+        })
+    return pd.DataFrame(rows)
+
+
+def db_sizes_table(stats: pd.DataFrame) -> pd.DataFrame:
+    """tools/stats `sizes` analogue (tools/stats:100-135): per format, the
+    0..100% percentile table of per-species counts of moves / items whose
+    rounded usage share exceeds 1% (round(w / species_w * 1e4) > 100 —
+    binary.ts round semantics). `stats` is binary_stats_tables output."""
+    rows = []
+    for fmt, g in stats.groupby("format", sort=True):
+        usage = g[g["kind"] == "usage"].set_index("a")["weight"]
+        counts = {}
+        for which in ("move", "item"):
+            sub = g[g["kind"] == which]
+            denom = usage.reindex(sub["a"]).to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                share = np.round(sub["weight"].to_numpy() / denom * 1e4)
+            qual = pd.Series(share > 100).groupby(
+                sub["a"].to_numpy()).sum()
+            counts[which] = np.sort(
+                qual.reindex(usage.index, fill_value=0)
+                .to_numpy().astype(np.int64))
+        for i in range(101):
+            rows.append({
+                "format": fmt, "pct": i,
+                "moves": _ptile(counts["move"], i / 100),
+                "items": _ptile(counts["item"], i / 100),
+            })
+    out = pd.DataFrame(rows)
+    out["pct"] = out["pct"].astype("int64")
+    return out
+
+
+def db_display_pokemon(stats: pd.DataFrame, n_moves: int = 20,
+                       n_items: int = 5) -> dict:
+    """tools/stats `display --report=pokemon` analogue (binary.ts:396-451):
+    {format: {species: {usage, lead, moves{}, items{}}}} with species
+    sorted by usage desc, percentages at the stats.db codec's u16/100
+    resolution (2 decimals). `stats` is binary_stats_tables output."""
+    def pct(x: float) -> float:
+        return float(np.floor(x * 100 + 0.5) / 100)
+
+    out: dict = {}
+    for fmt, g in stats.groupby("format", sort=True):
+        usage = g[g["kind"] == "usage"].set_index("a")["weight"]
+        leads = g[g["kind"] == "lead"].set_index("a")["weight"]
+        u_tot = float(usage.sum()) or 1.0
+        l_tot = float(leads.sum()) or 1.0
+        species = usage.sort_values(ascending=False).index
+        fmt_out = {}
+        for sp in species:
+            entry = {
+                "usage": pct(100 * float(usage[sp]) / u_tot),
+                "lead": pct(100 * float(leads.get(sp, 0.0)) / l_tot),
+                "moves": {}, "items": {},
+            }
+            w_sp = float(usage[sp]) or 1.0
+            for which, top_n in (("move", n_moves), ("item", n_items)):
+                sub = (g[(g["kind"] == which) & (g["a"] == sp)]
+                       .sort_values(["weight", "b"], ascending=[False, True])
+                       .head(top_n))
+                entry[which + "s"] = {
+                    b: pct(100 * float(w) / w_sp)
+                    for b, w in zip(sub["b"], sub["weight"]) if b}
+            fmt_out[sp] = entry
+        out[fmt] = fmt_out
+    return out
+
+
 def species_counts_from_db(db_dir: str) -> Dataset:
     """A14 analogue: dense per-ordinal usage counts recomputed from the
     binary db (groupby over decoded rows)."""

@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -116,3 +117,71 @@ def test_rating_percentile(parsed):
     assert (df["percentile"] >= 1000).all()
     assert (df["percentile"] <= 2400).all()
     assert (df["n_ratings"] > 0).all()
+
+
+# --- tools/stats CLI analogues (cutoff / sizes / display) -------------------
+
+def test_ptile_matches_numpy_linear():
+    from stats_ray.stages.binary import _hist_ptile, _ptile
+    rng = np.random.RandomState(3)
+    vals = np.sort(rng.randint(1000, 2000, 137))
+    for p in (0.0, 0.1, 0.25, 0.5, 0.9, 0.999, 1.0):
+        want = float(np.percentile(vals, p * 100, method="linear"))
+        assert _ptile(vals, p) == pytest.approx(want), p
+        # histogram form agrees with the expanded form
+        u, c = np.unique(vals, return_counts=True)
+        assert _hist_ptile(u, c, p) == pytest.approx(want), p
+    assert _ptile(np.array([]), 0.5) == 0.0
+
+
+def test_db_rating_percentile_matches_direct(parsed, tmp_path):
+    """db_rating_percentile over the encoded db == linear percentile over
+    the directly-collected codec-rounded ratings."""
+    import ray.data
+    from stats_ray.stages.binary import (_ptile, binary_db,
+                                         db_rating_percentile)
+
+    out = str(tmp_path / "db")
+    binary_db(parsed, out)
+    got = db_rating_percentile(ray.data.read_parquet(out), 0.9)
+
+    df = parsed.to_pandas()
+    rows = []
+    for side in ("p1", "p2"):
+        has = df[f"{side}_has_rating"].to_numpy()
+        rpr = np.clip(np.round(df[f"{side}_rpr"].to_numpy()), 0, 0xFFFE)
+        rows.append(pd.DataFrame({"format": df["format"][has],
+                                  "rpr": rpr[has]}))
+    direct = pd.concat(rows, ignore_index=True)
+    for _, r in got.iterrows():
+        vals = np.sort(direct.loc[direct["format"] == r["format"], "rpr"]
+                       .to_numpy())
+        assert r["n_ratings"] == len(vals)
+        assert r["percentile"] == pytest.approx(_ptile(vals, 0.9))
+
+
+def test_db_sizes_and_display(parsed, tmp_path):
+    import ray.data
+    from stats_ray.stages.binary import (binary_db, binary_stats_tables,
+                                         db_display_pokemon, db_sizes_table)
+
+    out = str(tmp_path / "db2")
+    binary_db(parsed, out)
+    stats = binary_stats_tables(ray.data.read_parquet(out),
+                                cutoff=1630.0).to_pandas()
+
+    sizes = db_sizes_table(stats)
+    for fmt, g in sizes.groupby("format"):
+        assert len(g) == 101                      # 0..100% table
+        assert g.sort_values("pct")["moves"].is_monotonic_increasing
+        assert (g["moves"] >= 0).all() and (g["items"] >= 0).all()
+
+    disp = db_display_pokemon(stats, n_moves=5, n_items=3)
+    for fmt, by_sp in disp.items():
+        usages = [e["usage"] for e in by_sp.values()]
+        assert usages == sorted(usages, reverse=True)   # usage-desc order
+        assert sum(usages) == pytest.approx(100, abs=0.5)
+        for e in by_sp.values():
+            assert len(e["moves"]) <= 5 and len(e["items"]) <= 3
+            for v in list(e["moves"].values()) + list(e["items"].values()):
+                assert 0 <= v <= 400 + 1e-9        # 4 move slots x 100%
