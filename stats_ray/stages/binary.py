@@ -127,6 +127,24 @@ class EncodeBinary:
         })
 
 
+def _rows_view(raw: pa.Array) -> np.ndarray:
+    """(n, ROW_SIZE) uint8 view of a fixed-width binary column — zero-copy
+    straight from the Arrow values buffer when rows are contiguous (the
+    normal case), falling back to a per-row join only for irregular
+    offsets. The join path is a per-row Python loop; at 100 TB the
+    zero-copy path is the one that runs."""
+    n = len(raw)
+    odt = np.int64 if pa.types.is_large_binary(raw.type) else np.int32
+    offs = np.frombuffer(raw.buffers()[1], odt)[
+        raw.offset:raw.offset + n + 1]
+    if offs[-1] - offs[0] == n * ROW_SIZE and \
+            np.all(np.diff(offs) == ROW_SIZE):
+        data = np.frombuffer(raw.buffers()[2], np.uint8)
+        return data[offs[0]:offs[-1]].reshape(n, ROW_SIZE)
+    return np.frombuffer(b"".join(raw.to_pylist()),
+                         dtype=np.uint8).reshape(n, ROW_SIZE)
+
+
 class DecodeBinary:
     """(row:binary) -> struct columns (inverse of EncodeBinary)."""
 
@@ -136,9 +154,8 @@ class DecodeBinary:
     def __call__(self, t: pa.Table) -> pa.Table:
         lk = self.lookup
         raw = t["row"].combine_chunks()
-        buf = b"".join(raw.to_pylist())
         n = len(t)
-        rows = np.frombuffer(buf, dtype=np.uint8).reshape(n, ROW_SIZE)
+        rows = _rows_view(raw)
 
         ts = rows[:, 0:8].copy().view("<u8").reshape(n)
         turns = rows[:, 8:10].copy().view("<u2").reshape(n)
@@ -196,9 +213,8 @@ def binary_stats_tables(db: Dataset, cutoff: float = 1630.0) -> Dataset:
     def explode(t: pa.Table) -> pa.Table:
         lk = Lookup()
         raw = t["row"].combine_chunks()
-        buf = b"".join(raw.to_pylist())
         n = len(t)
-        rows = np.frombuffer(buf, dtype=np.uint8).reshape(n, ROW_SIZE)
+        rows = _rows_view(raw)
         fmt = t["format"].to_numpy(zero_copy_only=False)
 
         # object dtype: np.minimum/maximum have no unicode loop
@@ -332,9 +348,8 @@ def db_rating_percentile(db: Dataset, percentile: float) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         raw = t["row"].combine_chunks()
-        buf = b"".join(raw.to_pylist())
         n = len(t)
-        rows = np.frombuffer(buf, dtype=np.uint8).reshape(n, ROW_SIZE)
+        rows = _rows_view(raw)
         fmt = t["format"].to_numpy(zero_copy_only=False)
         frames = []
         for j in range(2):
