@@ -65,3 +65,32 @@ def test_routed_sink_roundtrip(small_corpus, parsed, tmp_path):
     assert back.count() == parsed.count()
     names = [f.name for f in back.schema().base_schema]
     assert "format" in names  # hive partition column restored
+
+
+def test_fused_aggregate_invariant_to_batch_size(parsed):
+    """The fused high-cardinality aggregate is batch-size invariant: a
+    different explode batch size (different partial-combine grouping) must
+    yield the same groups, counts, and weights. Weights are compared at
+    ulp tolerance — partial sums are associative only up to FP rounding
+    (the reference documents the same combine-order caveat); bit-exactness
+    holds for a FIXED batching via the stable-order presort."""
+    from stats_ray.stages import aggregate as agg
+
+    saved = agg._EXPLODE_BATCH
+    try:
+        agg._EXPLODE_BATCH = 256
+        a = (agg.fused_highcard(parsed).to_pandas()
+             .sort_values(["family", "format", "k1", "k2", "k3"])
+             .reset_index(drop=True))
+        agg._EXPLODE_BATCH = 4096
+        b = (agg.fused_highcard(parsed).to_pandas()
+             .sort_values(["family", "format", "k1", "k2", "k3"])
+             .reset_index(drop=True))
+    finally:
+        agg._EXPLODE_BATCH = saved
+    import numpy as np
+    key_cols = ["family", "format", "k1", "k2", "k3", "i1"]
+    assert a[key_cols].equals(b[key_cols])          # identical group sets
+    for c in ("w0", "w1", "w2", "w3"):
+        np.testing.assert_allclose(a[c].to_numpy(), b[c].to_numpy(),
+                                   rtol=1e-9, atol=1e-12)
