@@ -29,8 +29,11 @@ from .. import dex
 _SKIP_RE = "|".join(dex.SKIP_FORMAT_MARKERS)
 
 
-def read_battles(corpus_dir: str, columns=None) -> Dataset:
-    return ray.data.read_parquet(f"{corpus_dir}/battles", columns=columns)
+def read_battles(corpus_dir: str, columns=None, files=None) -> Dataset:
+    """Battles table read; `files` restricts to an explicit file subset
+    (the unit of per-partition resume in run_flagship)."""
+    return ray.data.read_parquet(files or f"{corpus_dir}/battles",
+                                 columns=columns)
 
 
 def filter_formats(ds: Dataset) -> Dataset:
@@ -54,8 +57,9 @@ def _default_concurrency() -> int:
 
 
 def parse_pipeline(corpus_dir: str, *, strict: bool = True,
-                   concurrency=None, batch_size: int = 256) -> Dataset:
-    ds = read_battles(corpus_dir)
+                   concurrency=None, batch_size: int = 256,
+                   files=None) -> Dataset:
+    ds = read_battles(corpus_dir, files=files)
     ds = filter_formats(ds)
     return ds.map_batches(
         ParseBattles, fn_constructor_kwargs={"strict": strict},
@@ -464,30 +468,54 @@ def render_monotype_reports(parsed: Dataset, out_dir: str,
 
 
 def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
-                 concurrency=None) -> dict[str, int]:
-    """Parse once, route to parquet, then aggregate each family from the
-    routed copy — resumable: every stage is a checkpointed partition (S4),
-    so a rerun skips completed work. Returns row counts per family."""
+                 concurrency=None, parse_shards: int = 8) -> dict[str, int]:
+    """Parse once (in `parse_shards` independently-checkpointed input
+    shards), route to parquet, then aggregate each family from the routed
+    copy. Resumable at PARTITION granularity (S4 / north rule): each parse
+    shard is its own manifest entry with lineage + metrics, so a job that
+    dies mid-parse re-runs only the unfinished shards — at 100 TB the
+    parse is days of work and stage-level resume would repeat all of it.
+    Aggregates are per-family entries (cheap relative to parse).
+    Returns row counts per family."""
+    import glob as _glob
+
     from .. import __version__
     from ..state.checkpoints import Manifest
 
     manifest = Manifest(out_dir, lineage={"corpus": corpus_dir,
                                           "engine": __version__})
 
-    def do_parse(tmp: str) -> dict:
-        parsed = parse_pipeline(corpus_dir, concurrency=concurrency)
-        route_parsed(parsed, tmp)
-        return {"rows": ray.data.read_parquet(tmp).count()}
+    files = sorted(_glob.glob(f"{corpus_dir}/battles/**/*.parquet",
+                              recursive=True))
+    k = max(1, min(parse_shards, len(files)))
+    # deterministic round-robin split: shard membership is a pure function
+    # of the sorted file list, so a resumed run sees identical shards
+    units = [files[i::k] for i in range(k)]
 
-    manifest.run("parsed", do_parse)
-    routed_dir = manifest.partition_dir("parsed")
+    for i, unit in enumerate(units):
+        def do_parse(tmp: str, unit=unit) -> dict:
+            parsed = parse_pipeline(corpus_dir, concurrency=concurrency,
+                                    files=unit)
+            route_parsed(parsed, tmp)
+            return {"rows": ray.data.read_parquet(tmp).count(),
+                    "input_files": len(unit)}
+
+        manifest.run(f"parsed-{i:04d}", do_parse)
+    routed_dirs = [manifest.partition_dir(f"parsed-{i:04d}")
+                   for i in range(k)]
 
     counts = {}
     for name in (families or AGG_FAMILIES):
         # column-pruned per-family re-read: only the columns this family's
-        # explode touches leave storage
-        routed = ray.data.read_parquet(routed_dir,
-                                       columns=FAMILY_COLUMNS.get(name))
+        # explode touches leave storage. One lazy read per parse shard,
+        # unioned (read_parquet rejects a list of hive roots, and a union
+        # keeps each root's partition-column inference intact).
+        cols = FAMILY_COLUMNS.get(name)
+        reads = [ray.data.read_parquet(d, columns=cols)
+                 for d in routed_dirs]
+        routed = reads[0]
+        for r in reads[1:]:
+            routed = routed.union(r)
 
         def do_agg(tmp: str, fn=AGG_FAMILIES[name], ds=routed) -> dict:
             out = fn(ds)

@@ -94,3 +94,49 @@ def test_fused_aggregate_invariant_to_batch_size(parsed):
     for c in ("w0", "w1", "w2", "w3"):
         np.testing.assert_allclose(a[c].to_numpy(), b[c].to_numpy(),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_flagship_sharded_parse_resume(ray_session, small_corpus, tmp_path):
+    """run_flagship checkpoints the parse at input-shard granularity: a
+    crash that loses some shards re-runs ONLY those shards on resume, and
+    the sharded parse's total row count equals the unsharded parse."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from stats_ray.pipelines.usage import parse_pipeline, run_flagship
+
+    out = str(tmp_path / "flag")
+    c1 = run_flagship(small_corpus, out, families=["battles"],
+                      parse_shards=4)
+    dirs = sorted(d for d in glob.glob(f"{out}/parsed-*")
+                  if not d.endswith(".jsonl"))
+    assert len(dirs) == 4
+
+    manifest = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
+    shard_rows = sum(e["metrics"]["rows"] for e in manifest
+                     if e["key"].startswith("parsed-"))
+    assert shard_rows == parse_pipeline(small_corpus).count()
+
+    # simulate a crash that lost shards 2 and 3: drop their partition dirs
+    # and manifest entries, keep everything else
+    lost = {"parsed-0002", "parsed-0003"}
+    for k in lost:
+        shutil.rmtree(os.path.join(out, k))
+    with open(f"{out}/manifest.jsonl", "w") as f:
+        for e in manifest:
+            if e["key"] not in lost:
+                f.write(json.dumps(e) + "\n")
+    kept_mtime = os.path.getmtime(os.path.join(out, "parsed-0000"))
+
+    c2 = run_flagship(small_corpus, out, families=["battles"],
+                      parse_shards=4)
+    assert c2 == c1                                  # same family counts
+    assert sorted(d for d in glob.glob(f"{out}/parsed-*")
+                  if not d.endswith(".jsonl")) == dirs
+    # untouched shard was NOT re-written (resume really skipped it)
+    assert os.path.getmtime(os.path.join(out, "parsed-0000")) == kept_mtime
+    manifest2 = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
+    redone = [e["key"] for e in manifest2 if e["key"] in lost]
+    assert sorted(redone) == sorted(lost)
