@@ -620,3 +620,130 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     out["dim"] = out["dim"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+# --- product quantization (PQ) -----------------------------------------------
+
+def pq_train(sample: np.ndarray, m: int = 8, ksub: int = 16,
+             iters: int = 8, seed: int = 17) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al. 2011, public): split the d dims
+    into m subspaces and k-means each independently over a bounded
+    driver-side sample. Returns (m, ksub, d/m) float64 codebooks.
+
+    Scale shape: training input is a SAMPLE (like `ivf_topk`'s coarse
+    quantizer) — codebook size m*ksub*(d/m) = ksub*d floats is broadcast,
+    independent of the table size."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        cent = sub[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        for _ in range(iters):
+            # assign to nearest centroid by L2 (classic PQ trains in L2)
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, :len(cent)] = cent
+        if len(cent) < ksub:                  # degenerate tiny sample
+            books[j, len(cent):] = cent[-1]
+    return books
+
+
+def pq_encode(ds: Dataset, books: np.ndarray) -> Dataset:
+    """Encode every vector to m uint8 sub-codes against the broadcast
+    codebooks — a 64-float (256 B at f32) vector becomes m bytes, the
+    compression that makes billion-scale ANN fit in memory. One streaming
+    map_batches; codes ride as a fixed-size-list<uint8> column."""
+    m, ksub, dsub = books.shape
+    ref = ray.put(books)
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            nm = _normalize(mat)
+            codes = np.empty((len(nm), m), dtype=np.uint8)
+            for j in range(m):
+                sub = nm[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - self.books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), m),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10, m: int = 8,
+            ksub: int = 16, train_size: int = 2048) -> pd.DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries stay exact, database
+    vectors are m-byte codes; per query a (m, ksub) lookup table of
+    sub-distances is built once, and each candidate's distance is m table
+    lookups summed — no float vector math per candidate.
+
+    Scale shape: codebooks train on a bounded sample and broadcast; the
+    encode pass and the scoring pass are each ONE streaming map_batches
+    with per-block top-k partials (approximate by design — recall vs
+    brute force pinned in tests). Returns (query_id, neighbor_id, adist)."""
+    ds = read_embeddings(sf_dir)
+
+    train = ds.limit(train_size).to_pandas()
+    tmat = _normalize(np.stack(train["embedding"].to_numpy())
+                      .astype(np.float64))
+    books = pq_train(tmat, m=m, ksub=ksub)
+
+    head = _lowest_ids(ds, n_queries)
+    q_ids = head["vec_id"].to_numpy()
+    q = _normalize(np.stack(head["embedding"].to_numpy()).astype(np.float64))
+    dsub = books.shape[2]
+    # per-query LUT: luts[qi, j, c] = ||q_sub - book[j][c]||^2
+    luts = np.empty((len(q), m, ksub))
+    for j in range(m):
+        qs = q[:, j * dsub:(j + 1) * dsub]
+        luts[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2
+                         ).sum(axis=2)
+    ref = ray.put((q_ids, luts))
+    coded = pq_encode(ds, books)
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.luts = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            codes = (t["code"].combine_chunks().flatten()
+                     .to_numpy().reshape(len(ids), m))
+            frames = []
+            for qi, qid in enumerate(self.q_ids):
+                # ADC: sum of m LUT gathers, fully vectorized over the block
+                dist = self.luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                order = np.argsort(dist[mask], kind="stable")[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids[mask][order],
+                    "adist": dist[mask][order]}))
+            return pa.Table.from_pandas(
+                pd.concat(frames, ignore_index=True),
+                preserve_index=False).replace_schema_metadata(None)
+
+    cand = coded.map_batches(Score, batch_format="pyarrow",
+                             concurrency=(1, 8)).to_pandas()
+    out = (cand.sort_values(["query_id", "adist", "neighbor_id"],
+                            ascending=[True, True, True])
+           .groupby("query_id", as_index=False).head(k)
+           .reset_index(drop=True))
+    out["adist"] = out["adist"].round(4)
+    return out

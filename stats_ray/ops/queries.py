@@ -777,6 +777,13 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(sf_dir)
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-k (approximate by design — rows-only;
+    recall vs brute force pinned in tests)."""
+    from .ann import pq_topk
+    return pq_topk(sf_dir)
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed spherical k-means (iterative, seeded — rows-only;
     convergence/partition checks pinned in tests)."""
@@ -1146,6 +1153,7 @@ QUERIES = {
     "events_approx_quantiles": _q_approx_quantiles,
     "multimodal_features": _q_multimodal,
     "ann_ivf_topk": _q_ivf_topk,
+    "ann_pq_topk": _q_pq_topk,
     "dedup_incremental": _q_dedup_incremental,
     "top_parts_per_nation": _q_top_parts,
     "doc_pair_jaccard": _q_pair_jaccard,

@@ -533,3 +533,40 @@ def test_exchange_ops_handle_empty_corpus(ray_session, tmp_path):
     assert inverted_index(str(tmp_path)).count() == 0
     assert pack_sequences(str(tmp_path)).count() == 0
     assert len(bm25_topk(str(tmp_path))) == 0
+
+
+def test_pq_topk_recall_vs_brute(ray_session):
+    """PQ asymmetric-distance search: m-byte codes, LUT scoring. Recall@10
+    vs exact brute force must stay useful despite 32x compression, and the
+    codes really are m uint8 per vector."""
+    import numpy as np
+
+    from stats_ray.ops.ann import (brute_force_topk, pq_encode, pq_topk,
+                                   pq_train, read_embeddings)
+    SF = "/root/testdata/sf0.001"
+
+    bf = brute_force_topk(SF)
+    pq = pq_topk(SF, m=16, ksub=32)
+    assert set(pq.columns) == {"query_id", "neighbor_id", "adist"}
+    recall = []
+    for q in bf["query_id"].unique():
+        truth = set(bf[bf["query_id"] == q]["neighbor_id"])
+        got = set(pq[pq["query_id"] == q]["neighbor_id"])
+        recall.append(len(truth & got) / len(truth))
+    assert np.mean(recall) > 0.3          # approximate by design
+
+    # per-query ADC ordering is ascending distance
+    for q, g in pq.groupby("query_id"):
+        assert g["adist"].is_monotonic_increasing
+
+    # encode: m uint8 codes per vector, one row per input vector
+    ds = read_embeddings(SF)
+    import pandas as pd
+    train = ds.limit(512).to_pandas()
+    from stats_ray.ops.ann import _normalize
+    books = pq_train(_normalize(np.stack(train["embedding"].to_numpy())
+                                .astype(np.float64)), m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    coded = pq_encode(ds, books).to_pandas()
+    assert len(coded) == ds.count()
+    assert all(len(c) == 8 for c in coded["code"].head(20))
