@@ -239,6 +239,30 @@ def _q_token_stats(sf_dir: str):
     return _r4(df, ["mean_word_len"], 6)
 
 
+def _q_bpe_token_stats(sf_dir: str):
+    from .text import bpe_token_stats
+    df = _pd(bpe_token_stats(sf_dir))
+    return _r4(df, ["mean_tok_len"])
+
+
+_SQL_BPE_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS token_chars,
+       ROUND(CASE WHEN len(toks) > 0 THEN
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+             / len(toks)::DOUBLE ELSE 0 END, 4) AS mean_tok_len
+FROM t
+"""
+
+
 _SQL_TOKEN_STATS = r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -1132,6 +1156,7 @@ QUERIES = {
     "events_sessionize": _q_events_sessions,
     "dedup_exact": _q_dedup_exact,
     "doc_token_stats": _q_token_stats,
+    "doc_bpe_token_stats": _q_bpe_token_stats,
     "doc_quality": _q_quality,
     "doc_fingerprints": _q_fingerprints,
     "ann_cosine_topk": _q_ann_topk,
@@ -1194,6 +1219,7 @@ ORACLES = {
     "events_sessionize": _SQL_EVENTS_SESSIONS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "doc_token_stats": _SQL_TOKEN_STATS,
+    "doc_bpe_token_stats": _SQL_BPE_TOKEN_STATS,
     "doc_quality": _SQL_QUALITY,
     "doc_fingerprints": _SQL_FINGERPRINTS,
     "ann_cosine_topk": _SQL_ANN_TOPK,

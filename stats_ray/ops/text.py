@@ -56,6 +56,42 @@ def token_stats(sf_dir: str) -> Dataset:
         TokenStats, batch_format="pandas", concurrency=(1, 4))
 
 
+# GPT-2-style BPE pretokenizer pattern (public), adapted to ASCII classes
+# and RE2 compatibility (no lookahead) so Python re and DuckDB produce the
+# IDENTICAL token stream: contractions | space-prefixed letter runs |
+# space-prefixed digit runs | space-prefixed punct runs | whitespace runs.
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+")
+
+
+class BpeTokenStats:
+    """Token counting under a BPE-ish pretokenizer (the contract LLM data
+    pipelines actually budget by, vs the \S+ whitespace count in
+    TokenStats): per doc, the pretoken count and mean pretoken length.
+    Compiled once per actor; vectorized findall per batch."""
+
+    def __init__(self):
+        self.pat = re.compile(BPE_SPLIT_PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(self.pat)
+        n = toks.str.len().astype("int64")
+        chars = toks.map(lambda ts: sum(len(t) for t in ts)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_bpe_tokens": n,
+            "token_chars": chars,
+            "mean_tok_len": np.where(
+                n > 0, chars / n.clip(lower=1), 0.0),
+        })
+
+
+def bpe_token_stats(sf_dir: str) -> Dataset:
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        BpeTokenStats, batch_format="pandas", concurrency=(1, 4))
+
+
 class QualityScore:
     """Heuristic quality score: length band + stopword presence + lexical
     diversity (type/token ratio). Deterministic, SQL-mirrorable pieces kept

@@ -570,3 +570,30 @@ def test_pq_topk_recall_vs_brute(ray_session):
     coded = pq_encode(ds, books).to_pandas()
     assert len(coded) == ds.count()
     assert all(len(c) == 8 for c in coded["code"].head(20))
+
+
+def test_bpe_pretokenizer_matches_reference_semantics(ray_session, tmp_path):
+    """The BPE-ish pretokenizer contract: contractions split off, letter /
+    digit / punct runs keep their leading space, whitespace runs count —
+    and Python re and the SQL oracle's RE2 agree on awkward inputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.text import bpe_token_stats
+    texts = ["Hello world, it's 2024!",
+             "can't won't we'll I'm they're you've he'd",
+             "  leading  spaces\tand\nnewlines ",
+             ""]
+    pq.write_table(pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = (bpe_token_stats(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # "Hello"," world",","," it","'s"," 2024","!" -> 7
+    assert out["n_bpe_tokens"].tolist()[0] == 7
+    # contractions split: each "can't" is 2 pretokens -> 7 words x 2 = 14
+    assert out["n_bpe_tokens"].tolist()[1] == 14
+    assert out["n_bpe_tokens"].tolist()[3] == 0
+    assert out["mean_tok_len"].tolist()[3] == 0.0
+    # token_chars covers the full text (every char in exactly one token)
+    assert out["token_chars"].tolist() == [len(t) for t in texts]
