@@ -282,3 +282,70 @@ def document_media_features(sf_dir: str):
 
     return ds.map_batches(project, batch_format="pyarrow").to_pandas() \
         .sort_values("media_id").reset_index(drop=True)
+
+
+class ImageResize:
+    """Actor-pool resize stage: decode (PNG/PPM native) -> nearest-neighbor
+    resample to (out_w, out_h) -> emit the raw RGB(A) array as fixed-layout
+    bytes + dims. Nearest-neighbor is pure numpy indexing — no codec
+    library needed, deterministic, and the real shape of a preprocessing
+    stage feeding a training pipeline (uniform tensors out)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "width": [], "height": [], "channels": [],
+                "pixels": []}
+        for mid, p in zip(t["media_id"].to_pylist(),
+                          t["payload"].to_pylist()):
+            img = decode_image_bytes(p)
+            h, w, c = img.shape
+            yi = np.minimum((np.arange(self.out_h) * h) // self.out_h, h - 1)
+            xi = np.minimum((np.arange(self.out_w) * w) // self.out_w, w - 1)
+            small = img[yi][:, xi]
+            rows["media_id"].append(mid)
+            rows["width"].append(self.out_w)
+            rows["height"].append(self.out_h)
+            rows["channels"].append(int(c))
+            rows["pixels"].append(small.tobytes())
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "channels": pa.array(rows["channels"], pa.int32()),
+            "pixels": pa.array(rows["pixels"], pa.binary()),
+        })
+
+
+class FrameSample:
+    """Actor-pool frame sampler for video payloads: the payload is
+    meta.n_frames equal-size frames back to back (the raw-frames contract
+    a real decoder would feed this stage); emit every `stride`-th frame as
+    its own row (media_id, frame_idx, frame). flat_map shape: one input
+    row fans out to ceil(n_frames/stride) rows — batch sizes stay small
+    upstream because payloads are large (module docstring)."""
+
+    def __init__(self, stride: int = 8):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        meta = t["meta"].combine_chunks()
+        nf = meta.field("n_frames").to_numpy(zero_copy_only=False)
+        rows = {"media_id": [], "frame_idx": [], "frame": []}
+        for mid, p, n in zip(t["media_id"].to_pylist(),
+                             t["payload"].to_pylist(),
+                             nf.astype(np.int64)):
+            n = max(int(n), 1)
+            fsize = len(p) // n
+            if fsize == 0:
+                continue
+            for i in range(0, n, self.stride):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(i)
+                rows["frame"].append(p[i * fsize:(i + 1) * fsize])
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.string()),
+            "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+            "frame": pa.array(rows["frame"], pa.binary()),
+        })

@@ -135,3 +135,52 @@ def test_real_decode_stage_over_actor_pool(ray_session):
                   schema=MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError):
         ImageDecode(fake=False)(t2)
+
+
+def test_image_resize_stage(ray_session):
+    """Nearest-neighbor resize over the actor pool: uniform output tensors
+    from mixed-size PNG inputs, exact corner-pixel semantics."""
+    import ray.data
+
+    from stats_ray.ops.multimodal import MEDIA_SCHEMA, ImageResize
+
+    imgs = [_rand_img(5, 9, 3, seed=50), _rand_img(17, 4, 3, seed=51)]
+    t = pa.table({
+        "media_id": pa.array(["a", "b"]),
+        "kind": pa.array(["image"] * 2),
+        "payload": pa.array([encode_png(im) for im in imgs],
+                            type=pa.binary()),
+        "meta": pa.array([{"width": 0, "height": 0, "sample_rate": 0,
+                           "n_frames": 1}] * 2,
+                         type=MEDIA_SCHEMA.field("meta").type),
+    }, schema=MEDIA_SCHEMA)
+    out = (ray.data.from_arrow(t)
+           .map_batches(ImageResize,
+                        fn_constructor_kwargs={"out_w": 4, "out_h": 4},
+                        batch_format="pyarrow", concurrency=(1, 2))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert list(out["width"]) == [4, 4] and list(out["height"]) == [4, 4]
+    for row, img in zip(out.itertuples(), imgs):
+        small = np.frombuffer(row.pixels, np.uint8).reshape(4, 4, 3)
+        # nearest-neighbor: output (0,0) is input (0,0)
+        assert (small[0, 0] == img[0, 0]).all()
+
+
+def test_frame_sample_stage():
+    from stats_ray.ops.multimodal import MEDIA_SCHEMA, FrameSample
+
+    n_frames, fsize = 24, 10
+    payload = bytes(bytearray(range(240)))    # frame i = bytes 10i..10i+9
+    t = pa.table({
+        "media_id": pa.array(["v"]),
+        "kind": pa.array(["video"]),
+        "payload": pa.array([payload], type=pa.binary()),
+        "meta": pa.array([{"width": 0, "height": 0, "sample_rate": 0,
+                           "n_frames": n_frames}],
+                         type=MEDIA_SCHEMA.field("meta").type),
+    }, schema=MEDIA_SCHEMA)
+    out = FrameSample(stride=8)(t)
+    assert out["frame_idx"].to_pylist() == [0, 8, 16]
+    for idx, fr in zip(out["frame_idx"].to_pylist(),
+                       out["frame"].to_pylist()):
+        assert fr == payload[idx * fsize:(idx + 1) * fsize]
