@@ -349,3 +349,68 @@ class FrameSample:
             "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
             "frame": pa.array(rows["frame"], pa.binary()),
         })
+
+
+def decode_audio_bytes(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV payload to (samples float64 in [-1, 1] x channels,
+    sample_rate) — stdlib `wave` + numpy, no codec library. 8/16/32-bit
+    PCM; anything else raises with the declared reason."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise NotImplementedError(
+            f"audio decode: only PCM WAV is container-decodable ({e}); "
+            "compressed codecs need external libraries") from e
+    if width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+    elif width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768
+    elif width == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648
+    else:
+        raise NotImplementedError(f"audio decode: {width * 8}-bit PCM "
+                                  "unsupported")
+    return x.reshape(-1, nch), rate
+
+
+AUDIO_FEATURES_TYPE = pa.struct([
+    ("n_samples", pa.int64()), ("sample_rate", pa.int32()),
+    ("channels", pa.int32()), ("duration_sec", pa.float64()),
+    ("rms", pa.float64()), ("peak", pa.float64())])
+
+
+class AudioDecode:
+    """Actor-pool audio decode stage: REAL for PCM WAV (stdlib wave), per
+    -clip duration / RMS / peak features; non-audio kinds and compressed
+    codecs raise with a declared reason."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = []
+        for mid, kind, p in zip(t["media_id"].to_pylist(),
+                                t["kind"].to_pylist(),
+                                t["payload"].to_pylist()):
+            if kind != "audio":
+                raise NotImplementedError(
+                    f"AudioDecode got kind={kind!r} (media_id={mid}); "
+                    "filter to kind == 'audio' upstream")
+            x, rate = decode_audio_bytes(p)
+            n = x.shape[0]
+            feats.append({
+                "n_samples": int(n),
+                "sample_rate": int(rate),
+                "channels": int(x.shape[1]),
+                "duration_sec": n / rate if rate else 0.0,
+                "rms": float(np.sqrt((x ** 2).mean())) if n else 0.0,
+                "peak": float(np.abs(x).max()) if n else 0.0,
+            })
+        return pa.table({
+            "media_id": t["media_id"],
+            "features": pa.array(feats, type=AUDIO_FEATURES_TYPE),
+        })

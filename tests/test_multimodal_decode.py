@@ -184,3 +184,55 @@ def test_frame_sample_stage():
     for idx, fr in zip(out["frame_idx"].to_pylist(),
                        out["frame"].to_pylist()):
         assert fr == payload[idx * fsize:(idx + 1) * fsize]
+
+
+def _encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """samples: (n, ch) float in [-1, 1] -> PCM16 WAV bytes (stdlib)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767)
+                      .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_decode_wav_roundtrip(ray_session):
+    import ray.data
+
+    from stats_ray.ops.multimodal import (MEDIA_SCHEMA, AudioDecode,
+                                          decode_audio_bytes)
+
+    t_axis = np.arange(1600) / 16000.0
+    sine = np.sin(2 * np.pi * 440 * t_axis)[:, None]    # 0.1 s mono A4
+    wav = _encode_wav(sine)
+    x, rate = decode_audio_bytes(wav)
+    assert rate == 16000 and x.shape == (1600, 1)
+    # PCM16 quantization keeps the waveform within 1 LSB
+    assert np.abs(x[:, 0] - sine[:, 0]).max() < 2 / 32767
+
+    t = pa.table({
+        "media_id": pa.array(["a1", "a2"]),
+        "kind": pa.array(["audio"] * 2),
+        "payload": pa.array([wav, _encode_wav(np.zeros((800, 2)))],
+                            type=pa.binary()),
+        "meta": pa.array([{"width": 0, "height": 0, "sample_rate": 16000,
+                           "n_frames": 1}] * 2,
+                         type=MEDIA_SCHEMA.field("meta").type),
+    }, schema=MEDIA_SCHEMA)
+    out = (ray.data.from_arrow(t)
+           .map_batches(AudioDecode, batch_format="pyarrow",
+                        concurrency=(1, 2))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    f1, f2 = out["features"]
+    assert f1["duration_sec"] == pytest.approx(0.1)
+    assert f1["rms"] == pytest.approx(1 / np.sqrt(2), abs=1e-3)  # sine RMS
+    assert f2["channels"] == 2 and f2["rms"] == 0.0
+
+    # compressed / non-WAV audio raises with the declared reason
+    with pytest.raises(NotImplementedError):
+        decode_audio_bytes(b"ID3\x04fake mp3 bytes")
