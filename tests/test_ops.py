@@ -49,7 +49,7 @@ def _norm(df):
     "doc_clean_corpus", "doc_pack_sequences",
     "doc_chunks", "doc_source_cap", "doc_pii_scrub", "doc_dup_spans",
     "doc_dup_clusters", "doc_inverted_index", "doc_bm25_topk",
-    "embedding_label_centroids",
+    "embedding_label_centroids", "doc_bpe_token_stats",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -597,3 +597,13 @@ def test_bpe_pretokenizer_matches_reference_semantics(ray_session, tmp_path):
     assert out["mean_tok_len"].tolist()[3] == 0.0
     # token_chars covers the full text (every char in exactly one token)
     assert out["token_chars"].tolist() == [len(t) for t in texts]
+
+
+def test_query_registry_consistent(con):
+    """Every oracle belongs to a registered query, and every oracle SQL at
+    least plans in DuckDB against the real views — a typo in an ORACLES
+    string should fail here, not in the driver's recorded artifact."""
+    from stats_ray.ops import queries as gq
+    assert set(gq.ORACLES) <= set(gq.QUERIES)
+    for name, sql in gq.ORACLES.items():
+        con.execute(f"EXPLAIN {sql}")
