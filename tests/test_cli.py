@@ -68,3 +68,21 @@ def test_curate_resumable(ray_session, tmp_path):
     assert c2 == c1
     with open(os.path.join(out, "manifest.jsonl")) as f:
         assert len(f.read().strip().splitlines()) == n_entries  # no rework
+
+
+@pytest.mark.slow
+def test_cli_db_analyses(small_corpus, tmp_path):
+    """db-cutoff / db-sizes / db-display run end-to-end over a written db."""
+    db_dir = str(tmp_path / "db")
+    _run(["db", "--corpus", small_corpus, "--out", db_dir])
+
+    cut = _run(["db-cutoff", "--db", db_dir, "--percentile", "0.9"])
+    assert cut and all(r["n_ratings"] > 0 for r in cut)
+
+    sizes = _run(["db-sizes", "--db", db_dir])
+    assert len(sizes) % 101 == 0                  # 0..100% per format
+
+    disp = _run(["db-display", "--db", db_dir, "--moves", "3"])
+    fmt = next(iter(disp))
+    sp = next(iter(disp[fmt]))
+    assert {"usage", "lead", "moves", "items"} <= set(disp[fmt][sp])
