@@ -34,7 +34,6 @@ import numpy as np
 import pandas as pd
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 from .decontam import BENCH_MOD, _words
 from .text import read_documents

@@ -263,8 +263,6 @@ def document_media_features(sf_dir: str):
     decode (deterministic fake) -> per-item features. The byte-statistics
     columns are SQL-expressible, so this surface is oracle-checked; the
     digest column is pinned by pytest instead."""
-    import pandas as pd
-
     ds = documents_as_media(sf_dir).map_batches(
         ImageDecode, fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow", batch_size=32, concurrency=(1, 4))

@@ -11,7 +11,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 from ..exchange import bucketed_agg, bucketed_group_map

@@ -288,7 +288,6 @@ def tfidf(sf_dir: str) -> pd.DataFrame:
 
     Emits (doc_id, token, tf, tfidf = tf * ln(N / df))."""
     import ray
-    from ray.data.aggregate import Sum
 
     split = re.compile(r"[^a-z0-9]+")
 

@@ -25,7 +25,7 @@ import pandas as pd
 
 from ..gendex import GenDex
 from ..functions.jsfmt import (
-    js_num, js_round, js_tofixed, json_stringify, locale_key, round_str,
+    js_round, js_tofixed, json_stringify, locale_key, round_str,
     stringify_pretty_compact,
 )
 
