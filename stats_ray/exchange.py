@@ -105,13 +105,57 @@ def bucketed_group_map(ds: Dataset, keys: list[str],
 
 def bucketed_agg(ds: Dataset, keys: list[str],
                  spec: dict[str, tuple[str, str]] | str = "sum",
-                 *, nbuckets: int = 64) -> Dataset:
+                 *, nbuckets: int = 64,
+                 salt: int | None = None) -> Dataset:
     """Keyed aggregation via the bucket exchange.
 
     ``spec`` is either a plain reduction name applied to every non-key
     column ("sum" / "max" / "min" / "count"), or a pandas named-agg dict
     ``{out_col: (in_col, how)}``. Sums are made deterministic with the
-    row-hash presort (see _stable_sort)."""
+    row-hash presort (see _stable_sort).
+
+    ``salt``: hot-KEY pressure valve for mergeable reductions. The hash
+    exchange spreads distinct keys uniformly, but one pathological key
+    (a gen9ou-style hot format cell holding most rows) still lands whole
+    in a single bucket. ``salt=K`` splits every key's rows across K salt
+    values by deterministic row hash, aggregates (keys + salt) first, and
+    re-combines the ≤K partials per key in a second, tiny exchange — the
+    classic two-phase salted combine. Only valid for re-aggregable
+    reductions (sum / min / max / count — count re-combines as sum);
+    ``mean`` raises."""
+
+    if salt is not None:
+        if isinstance(spec, str):
+            if spec == "mean":
+                raise ValueError("bucketed_agg: salt= requires a mergeable "
+                                 "reduction; mean is not (pre-sum + count "
+                                 "instead)")
+            first_spec: dict | str = spec
+            second_spec = "sum" if spec == "count" else spec
+        else:
+            if any(h == "mean" for _, h in spec.values()):
+                raise ValueError("bucketed_agg: salt= requires mergeable "
+                                 "reductions; mean is not")
+            first_spec = dict(spec)
+            second_spec = {out: (out, "sum" if h in ("count", "size")
+                                 else h)
+                           for out, (_, h) in spec.items()}
+
+        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["salt__"] = (
+                pd.util.hash_pandas_object(df, index=False).to_numpy()
+                % np.uint64(salt)).astype(np.int64)
+            return df
+
+        salted = ds.map_batches(add_salt, batch_format="pandas")
+        first = bucketed_agg(salted, keys + ["salt__"], first_spec,
+                             nbuckets=nbuckets)
+        dropped = first.map_batches(
+            lambda df: df.drop(columns="salt__"), batch_format="pandas")
+        # second level: ≤ salt partial rows per key — a tiny exchange
+        return bucketed_agg(dropped, keys, second_spec,
+                            nbuckets=max(8, nbuckets // 4))
 
     if isinstance(spec, str):
         how = spec

@@ -114,3 +114,41 @@ def test_per_group_empty_schema_contract(ray_session):
                                per_group=True, empty=empty)
             .to_pandas().sort_values("k").reset_index(drop=True))
     assert list(out2["top"]) == [3.0, 2.0]
+
+
+def test_salted_agg_hot_key_exact_and_deterministic(ray_session):
+    """salt=K splits a pathological hot key across K first-level groups and
+    re-combines exactly: same result as the unsalted path, bitwise across
+    runs, for both string and named-agg specs (count re-merges as sum)."""
+    import ray.data
+
+    from stats_ray.exchange import bucketed_agg
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": ["hot"] * 20000 + list(rng.randint(0, 50, 3000).astype(str)),
+        "v": rng.normal(size=23000),
+        "n": np.ones(23000, dtype="int64"),
+    })
+
+    def norm(d):
+        return d.sort_values("k").reset_index(drop=True)
+
+    spec = {"s": ("v", "sum"), "mx": ("v", "max"), "cnt": ("n", "sum")}
+    plain = norm(bucketed_agg(ray.data.from_pandas(df), ["k"], spec)
+                 .to_pandas())
+    salted = norm(bucketed_agg(ray.data.from_pandas(df), ["k"], spec,
+                               salt=8).to_pandas())
+    assert list(plain["k"]) == list(salted["k"])
+    assert (plain["cnt"].to_numpy() == salted["cnt"].to_numpy()).all()
+    assert (plain["mx"].to_numpy() == salted["mx"].to_numpy()).all()
+    # float sums: salted regroups the addends -> ulp tolerance vs plain,
+    # but the salted path must be deterministic against itself (bitwise)
+    np.testing.assert_allclose(plain["s"], salted["s"], rtol=1e-9)
+    salted2 = norm(bucketed_agg(ray.data.from_pandas(df), ["k"], spec,
+                                salt=8).to_pandas())
+    assert (salted["s"].to_numpy() == salted2["s"].to_numpy()).all()
+
+    # mean is not mergeable -> clear error
+    with pytest.raises(ValueError):
+        bucketed_agg(ray.data.from_pandas(df), ["k"], "mean", salt=4)
