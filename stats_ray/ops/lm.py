@@ -134,3 +134,53 @@ def lm_perplexity(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         _LMScore, batch_format="pandas", concurrency=(1, 8),
         fn_constructor_args=(model_ref,))
+
+
+def _gumbel_key(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Content-addressed Gumbel noise: u from 52 bits of md5(seed:doc_id)
+    (exact in a double), g = -ln(-ln(u)). Deterministic across runs,
+    engines, repartitioning — the same addressing scheme as
+    `ops/text.sample_deterministic` / `ops/export`."""
+    import hashlib
+
+    u = np.array([(int(hashlib.md5(f"{seed}:{i}".encode())
+                       .hexdigest()[:13], 16) + 0.5) / 2 ** 52
+                  for i in doc_ids])
+    return -np.log(-np.log(u))
+
+
+def importance_sample(sf_dir: str, k: int = 100, seed: int = 7,
+                      temperature: float = 1.0) -> pd.DataFrame:
+    """DSIR-style importance-weighted corpus sampling via Gumbel-top-k
+    (Efraimidis–Spirakis / Gumbel-max, both public): sampling k docs
+    WITHOUT replacement with P(doc) ∝ exp(dsir_logratio / temperature)
+    is exactly `top-k by (dsir/T + Gumbel(doc))` — one streaming pass, no
+    global sort, no rejection loop.
+
+    Scale shape: reuses the per-doc DSIR scores (vocab-sized exchange +
+    broadcast log-prob tables, see lm_perplexity); the selection is
+    per-block top-k partials (k rows per block) + a tiny driver merge —
+    the same head shape as the ANN queries. Deterministic: the Gumbel
+    noise is content-addressed by (seed, doc_id), so re-runs and
+    repartitioning pick the identical sample (rows-only op: libm ulp
+    differences make the key not SQL-bitwise; exactness is pinned in
+    pytest against a local reference implementation)."""
+    scored = lm_perplexity(sf_dir)
+
+    def blk_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        key = (df["dsir_logratio"].to_numpy() / temperature
+               + _gumbel_key(ids, seed))
+        out = pd.DataFrame({"doc_id": ids.astype("int64"),
+                            "dsir_logratio": df["dsir_logratio"],
+                            "sample_key": key})
+        return (out.sort_values(["sample_key", "doc_id"],
+                                ascending=[False, True]).head(k))
+
+    cand = scored.map_batches(blk_topk, batch_format="pandas").to_pandas()
+    out = (cand.sort_values(["sample_key", "doc_id"],
+                            ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["sample_key"] = out["sample_key"].round(4)
+    out["dsir_logratio"] = out["dsir_logratio"].round(4)
+    return out

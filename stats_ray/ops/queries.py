@@ -116,6 +116,14 @@ def _q_lm_perplexity(sf_dir: str):
     return _r4(df, ["avg_nll", "ppl", "dsir_logratio"])
 
 
+def _q_importance_sample(sf_dir: str):
+    """DSIR Gumbel-top-k importance sampling (rows-only: the sampling key
+    mixes libm logs that differ from DuckDB's by ulps; exactness vs a
+    local reference + determinism pinned in tests/test_lm.py)."""
+    from .lm import importance_sample
+    return importance_sample(sf_dir)
+
+
 # Unigram LM with add-one smoothing over the shared vocabulary; target
 # slice = doc_id % 37 == 0 (the decontam benchmark carve-out). Tokenization
 # contract: lowercase + ASCII-whitespace split (see ops/decontam.py).
@@ -1149,6 +1157,7 @@ QUERIES = {
     "order_lineitem_revenue": _q_order_lineitem_revenue,
     "customer_order_counts": _q_customer_order_counts,
     "doc_lm_perplexity": _q_lm_perplexity,
+    "doc_importance_sample": _q_importance_sample,
     "doc_export_shards": _q_export_shards,
     "orders_building_segment": _q_orders_building_segment,
     "events_daily": _q_events_daily,

@@ -62,3 +62,34 @@ def test_unigram_counts_one_pass(tiny_corpus):
     assert c["token"].tolist() == ["alpha", "beta"]
     assert c["c_b"].tolist() == [5, 7]
     assert c["c_t"].tolist() == [3, 0]
+
+
+def test_importance_sample_gumbel_topk(ray_session):
+    """Gumbel-top-k importance sampling: deterministic, exact vs a local
+    reference (same libm), and tilted toward high-DSIR docs."""
+    import numpy as np
+
+    from stats_ray.ops.lm import importance_sample, lm_perplexity
+
+    SF = "/root/testdata/sf0.001"
+    a = importance_sample(SF, k=20, seed=7)
+    b = importance_sample(SF, k=20, seed=7)
+    assert a.equals(b)                        # re-run = identical sample
+    assert len(a) == 20 and a["doc_id"].is_unique
+
+    # exact agreement with a driver-side reference over the full scores
+    scores = lm_perplexity(SF).to_pandas()
+    from stats_ray.ops.lm import _gumbel_key
+    key = (scores["dsir_logratio"].to_numpy()
+           + _gumbel_key(scores["doc_id"].to_numpy(), 7))
+    ref = (pd.DataFrame({"doc_id": scores["doc_id"].astype("int64"),
+                         "key": key})
+           .sort_values(["key", "doc_id"], ascending=[False, True])
+           .head(20))
+    assert list(a["doc_id"]) == list(ref["doc_id"])
+
+    # different seed = different sample; the selection is importance-tilted
+    c = importance_sample(SF, k=20, seed=8)
+    assert set(c["doc_id"]) != set(a["doc_id"])
+    mean_all = scores["dsir_logratio"].mean()
+    assert a["dsir_logratio"].mean() > mean_all   # tilted toward target
