@@ -226,3 +226,61 @@ def clean_corpus(sf_dir: str, n: int = 4, min_tokens: int = 20,
     gated = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         Gate, batch_format="pandas", concurrency=(1, 4))
     return bucketed_group_map(gated, ["h"], mark_dups)
+
+
+# linear quality-ensemble weights (documented, arbitrary-but-sensible:
+# reward lexical diversity / entropy / sane length, penalize stopword
+# saturation and repetition — the fastText-style handcrafted-feature
+# scorer shape every curation pipeline runs before a learned filter)
+ENSEMBLE_WEIGHTS = {"ttr": 2.0, "stop_ratio": -1.0, "ok_length": 0.5,
+                    "top_word_frac": -1.0, "dup_3gram_frac": -1.0,
+                    "word_entropy": 0.2}
+
+
+def quality_ensemble(sf_dir: str) -> Dataset:
+    """Per-doc linear quality score over BOTH feature families in ONE
+    streaming pass (no join of the component ops): the \\S+-token quality
+    features (ttr / stop_ratio / ok_length, 6 dp) and the lowercase-word
+    repetition features (top_word_frac / dup_3gram_frac / word_entropy,
+    4 dp), combined left-to-right with the fixed ENSEMBLE_WEIGHTS and
+    rounded half-away to 4 dp. Docs whose lowercase tokenization is empty
+    are skipped (inner-join semantics, matching the repetition oracle).
+
+    Embarrassingly parallel — the only state is the stopword set."""
+    from .text import STOPWORDS
+
+    ws_pat = re.compile(r"\S+")
+
+    def _rp(x: float, p: int = 4) -> float:
+        f = 10.0 ** p
+        return float(np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "quality_score": []}
+        for did, t in zip(df["doc_id"], df["text"]):
+            words = _words(t)
+            nt = len(words)
+            if not nt:
+                continue
+            toks = ws_pat.findall(t)
+            n = max(len(toks), 1)
+            ttr = _rp(len(set(toks)) / n, 6)
+            stop = _rp(sum(1 for w in toks if w in STOPWORDS) / n, 6)
+            ok = 1 if 10 <= len(toks) <= 1000 else 0
+            wc = Counter(words)
+            twf = _rp(max(wc.values()) / nt)
+            p = np.array(list(wc.values()), dtype=np.float64) / nt
+            ent = _rp(float(-(p * np.log(p)).sum()))
+            g = _grams(words, 3)
+            dup = _rp(1.0 - len(set(g)) / len(g) if g else 0.0)
+            # same left-to-right expression as the SQL oracle so the
+            # combination of identically-rounded features is bitwise equal
+            s = (2 * ttr - stop + 0.5 * ok - twf - dup + 0.2 * ent)
+            rows["doc_id"].append(int(did))
+            rows["quality_score"].append(_rp(s))
+        out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")

@@ -901,6 +901,52 @@ ORDER BY t.doc_id
 """
 
 
+def _q_quality_ensemble(sf_dir: str):
+    from .decontam import quality_ensemble
+    return _pd(quality_ensemble(sf_dir))
+
+
+_SQL_QUALITY_ENSEMBLE = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+q AS (SELECT doc_id,
+             ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS ttr,
+             ROUND(CAST(len(list_filter(toks,
+                   x -> x IN ('the','a','an','and','of','to','in','is','it'))) AS DOUBLE)
+                 / GREATEST(len(toks), 1), 6) AS stop_ratio,
+             CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS ok_length
+      FROM t),
+w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS i
+  FROM documents
+),
+wc AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens FROM wc GROUP BY 1),
+mx AS (SELECT doc_id, max(n) AS top_n FROM wc GROUP BY 1),
+ent AS (SELECT wc.doc_id AS doc_id,
+               -sum((n * 1.0 / t.n_tokens) * ln(n * 1.0 / t.n_tokens)) AS h
+        FROM wc JOIN tot t USING (doc_id) GROUP BY 1),
+g AS (
+  SELECT doc_id,
+         word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS gram
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(word,2) OVER win IS NOT NULL
+),
+gg AS (SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS dist FROM g GROUP BY 1),
+r AS (SELECT t.doc_id,
+             ROUND(mx.top_n * 1.0 / t.n_tokens, 4) AS twf,
+             ROUND(COALESCE(1.0 - gg.dist * 1.0 / gg.total, 0.0), 4) AS dup3,
+             ROUND(ent.h, 4) AS h
+      FROM tot t JOIN mx USING (doc_id) JOIN ent USING (doc_id)
+      LEFT JOIN gg USING (doc_id))
+SELECT q.doc_id,
+       ROUND(2 * q.ttr - q.stop_ratio + 0.5 * q.ok_length
+             - r.twf - r.dup3 + 0.2 * r.h, 4) AS quality_score
+FROM q JOIN r USING (doc_id)
+"""
+
+
 def _q_heavy_hitters(sf_dir: str):
     from .io import read_table
     from .sketch import heavy_hitters
@@ -1195,6 +1241,7 @@ QUERIES = {
     "embedding_kmeans": _q_kmeans,
     "doc_decontaminate": _q_decontaminate,
     "doc_repetition_stats": _q_repetition,
+    "doc_quality_ensemble": _q_quality_ensemble,
     "events_heavy_hitters": _q_heavy_hitters,
     "embedding_semantic_dedup": _q_semantic_dedup,
     "events_stratified_sample": _q_stratified,
@@ -1248,6 +1295,7 @@ ORACLES = {
     "orders_price_percentiles": _SQL_PRICE_PERCENTILES,
     "doc_decontaminate": _SQL_DECONTAMINATE,
     "doc_repetition_stats": _SQL_REPETITION,
+    "doc_quality_ensemble": _SQL_QUALITY_ENSEMBLE,
     "events_heavy_hitters": _SQL_HEAVY_HITTERS,
     "events_stratified_sample": _SQL_STRATIFIED,
     "events_json_props": _SQL_JSON_PROPS,

@@ -50,6 +50,7 @@ def _norm(df):
     "doc_chunks", "doc_source_cap", "doc_pii_scrub", "doc_dup_spans",
     "doc_dup_clusters", "doc_inverted_index", "doc_bm25_topk",
     "embedding_label_centroids", "doc_bpe_token_stats",
+    "doc_quality_ensemble",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
