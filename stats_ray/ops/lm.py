@@ -184,3 +184,58 @@ def importance_sample(sf_dir: str, k: int = 100, seed: int = 7,
     out["sample_key"] = out["sample_key"].round(4)
     out["dsir_logratio"] = out["dsir_logratio"].round(4)
     return out
+
+
+def ppl_buckets(sf_dir: str, cut_qs: tuple = (1 / 3, 2 / 3),
+                delta: int = 200) -> pd.DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): split
+    the corpus into head / middle / tail by global avg_nll quantiles —
+    the standard curriculum/quality partition over a language-model score.
+
+    Scale shape (two passes, nothing corpus-sized on the driver):
+    1. per-block mergeable t-digests over avg_nll -> thresholds on the
+       driver (a few KiB regardless of corpus size — the honest way to
+       estimate global quantiles at 100 TB; exact agreement with true
+       quantiles is pinned within tolerance in tests);
+    2. thresholds broadcast; one vectorized map assigns each doc its
+       bucket; per-bucket counts + mean nll roll up from tiny partials.
+
+    Returns (bucket, n_docs, mean_nll, lo, hi) — one row per bucket.
+    rows-only by design (the t-digest thresholds are approximate)."""
+    from .sketch import TDigest
+
+    scored = lm_perplexity(sf_dir).materialize()
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest(delta).add_many(df["avg_nll"].to_numpy())
+        return pd.DataFrame({"sketch": [d.serialize()]})
+
+    digest = TDigest(delta)
+    for b in (scored.map_batches(sketch, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        for s in b["sketch"]:
+            digest.merge(TDigest.deserialize(bytes(s), delta))
+    cuts = [digest.quantile(q) for q in cut_qs]
+    names = ["head", "middle", "tail"]
+    ref = ray.put(cuts)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        nll = df["avg_nll"].to_numpy()
+        idx = np.searchsorted(c, nll, side="right")
+        out = pd.DataFrame({"bucket": np.array(names)[idx],
+                            "n_docs": 1, "nll_sum": nll})
+        return out.groupby("bucket", as_index=False).sum()
+
+    parts = (scored.map_batches(assign, batch_format="pandas")
+             .to_pandas().groupby("bucket", as_index=False).sum())
+    lo = {"head": float("-inf"), "middle": cuts[0], "tail": cuts[1]}
+    hi = {"head": cuts[0], "middle": cuts[1], "tail": float("inf")}
+    parts["mean_nll"] = (parts["nll_sum"] / parts["n_docs"]).round(4)
+    parts["lo"] = parts["bucket"].map(lo).round(4)
+    parts["hi"] = parts["bucket"].map(hi).round(4)
+    parts["n_docs"] = parts["n_docs"].astype("int64")
+    order = {n: i for i, n in enumerate(names)}
+    return (parts.assign(_o=parts["bucket"].map(order))
+            .sort_values("_o").drop(columns=["_o", "nll_sum"])
+            .reset_index(drop=True))

@@ -116,6 +116,14 @@ def _q_lm_perplexity(sf_dir: str):
     return _r4(df, ["avg_nll", "ppl", "dsir_logratio"])
 
 
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets (rows-only: t-digest
+    thresholds are approximate by design; tolerance pinned in
+    tests/test_lm.py)."""
+    from .lm import ppl_buckets
+    return ppl_buckets(sf_dir)
+
+
 def _q_importance_sample(sf_dir: str):
     """DSIR Gumbel-top-k importance sampling (rows-only: the sampling key
     mixes libm logs that differ from DuckDB's by ulps; exactness vs a
@@ -1204,6 +1212,7 @@ QUERIES = {
     "customer_order_counts": _q_customer_order_counts,
     "doc_lm_perplexity": _q_lm_perplexity,
     "doc_importance_sample": _q_importance_sample,
+    "doc_ppl_buckets": _q_ppl_buckets,
     "doc_export_shards": _q_export_shards,
     "orders_building_segment": _q_orders_building_segment,
     "events_daily": _q_events_daily,

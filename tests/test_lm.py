@@ -93,3 +93,28 @@ def test_importance_sample_gumbel_topk(ray_session):
     assert set(c["doc_id"]) != set(a["doc_id"])
     mean_all = scores["dsir_logratio"].mean()
     assert a["dsir_logratio"].mean() > mean_all   # tilted toward target
+
+
+def test_ppl_buckets_head_middle_tail(ray_session):
+    """CCNet-style bucketing: every doc lands in exactly one bucket, the
+    t-digest thresholds track the exact tertiles (within digest tolerance),
+    and head has the lowest (best) mean nll."""
+    import numpy as np
+
+    from stats_ray.ops.lm import lm_perplexity, ppl_buckets
+
+    SF = "/root/testdata/sf0.001"
+    out = ppl_buckets(SF)
+    assert list(out["bucket"]) == ["head", "middle", "tail"]
+    scores = lm_perplexity(SF).to_pandas()
+    assert out["n_docs"].sum() == len(scores)
+    # digest thresholds within tolerance of exact tertiles
+    exact = np.quantile(scores["avg_nll"].to_numpy(), [1 / 3, 2 / 3])
+    spread = scores["avg_nll"].max() - scores["avg_nll"].min()
+    assert abs(out["hi"].iloc[0] - exact[0]) < 0.05 * spread
+    assert abs(out["hi"].iloc[1] - exact[1]) < 0.05 * spread
+    # buckets are ordered by quality: head nll < middle nll < tail nll
+    assert (out["mean_nll"].iloc[0] < out["mean_nll"].iloc[1]
+            < out["mean_nll"].iloc[2])
+    # roughly balanced tertiles
+    assert (out["n_docs"] > 0.2 * len(scores)).all()
