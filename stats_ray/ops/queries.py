@@ -761,6 +761,47 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
 """
 
 
+def _q_source_mix(sf_dir: str):
+    from .text import mix_sources
+    # pinned demo rates: src0 kept fully, src1 dropped, others 50%
+    df = _pd(mix_sources(sf_dir, rates={"src0": 1.0, "src1": 0.0}))
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_SOURCE_MIX = """
+WITH u AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('9:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           AS h
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM u
+WHERE h < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.0
+           ELSE 0.5 END) * 4503599627370496.0
+ORDER BY doc_id
+"""
+
+
+def _q_train_val_test(sf_dir: str):
+    from .text import train_val_test
+    df = _pd(train_val_test(sf_dir))
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_TRAIN_VAL_TEST = """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('4:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u ORDER BY doc_id
+"""
+
+
 # --- rows-only (non-SQL-expressible) -----------------------------------------
 
 def _q_minhash(sf_dir: str):
@@ -1238,6 +1279,8 @@ QUERIES = {
     "range_join_bands": _q_range_join,
     "doc_vocab_topk": _q_vocab_topk,
     "doc_sample_det": _q_sample_det,
+    "doc_source_mix": _q_source_mix,
+    "doc_train_val_test": _q_train_val_test,
     "doc_tfidf": _q_tfidf,
     "events_approx_quantiles": _q_approx_quantiles,
     "multimodal_features": _q_multimodal,
@@ -1296,6 +1339,8 @@ ORACLES = {
     "range_join_bands": _SQL_RANGE_JOIN,
     "doc_vocab_topk": _SQL_VOCAB_TOPK,
     "doc_sample_det": _SQL_SAMPLE_DET,
+    "doc_source_mix": _SQL_SOURCE_MIX,
+    "doc_train_val_test": _SQL_TRAIN_VAL_TEST,
     "doc_tfidf": _SQL_TFIDF,
     "multimodal_features": _SQL_MULTIMODAL,
     "dedup_incremental": _SQL_DEDUP_INCREMENTAL,

@@ -539,3 +539,54 @@ def pii_scrub(sf_dir: str) -> Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         Scrub, batch_format="pandas", concurrency=(1, 4))
+
+
+def mix_sources(sf_dir: str, rates: "dict[str, float] | None" = None,
+                default_rate: float = 0.5, seed: int = 9) -> Dataset:
+    """Deterministic source mixing: keep each doc with its SOURCE's
+    sampling rate (the Pile-style domain-weighting knob — up/down-sample
+    domains per epoch without materializing per-source corpora). The
+    keep decision is content-addressed: u = first 13 md5 hex digits of
+    f"{seed}:{doc_id}" as a fraction, kept iff u < rate[source] — exact
+    integer threshold compare, reproducible across engines, runs and
+    repartitioning; a new seed is a fresh epoch's subsample.
+
+    One filter pass, no shuffle; rates ride in the task closure (tiny)."""
+    rates = rates if rates is not None else {}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["doc_id"].map(
+            lambda i: int(hashlib.md5(f"{seed}:{i}".encode())
+                          .hexdigest()[:13], 16))
+        rate = df["source"].map(lambda s: rates.get(s, default_rate))
+        mask = u < (rate * 2 ** 52)
+        out = df.loc[mask, ["doc_id", "source"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return read_documents(sf_dir, ["doc_id", "source"]).map_batches(
+        keep, batch_format="pandas")
+
+
+SPLIT_BOUNDS = (0.8, 0.9)   # train < 0.8 <= val < 0.9 <= test
+
+
+def train_val_test(sf_dir: str, seed: int = 4) -> Dataset:
+    """Deterministic train/val/test carve-out: every doc is assigned a
+    split by its content-addressed hash fraction (train 80% / val 10% /
+    test 10%) — stable under repartitioning and re-runs, no persisted
+    split lists, membership decidable for any doc in isolation (the
+    property that keeps a 100-TB corpus's eval split leak-free across
+    pipeline versions). One map pass; emits (doc_id, split)."""
+    lo, hi = SPLIT_BOUNDS
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["doc_id"].map(
+            lambda i: int(hashlib.md5(f"{seed}:{i}".encode())
+                          .hexdigest()[:13], 16)) / 2 ** 52
+        split = np.where(u < lo, "train", np.where(u < hi, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "split": split})
+
+    return read_documents(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pandas")

@@ -50,7 +50,7 @@ def _norm(df):
     "doc_chunks", "doc_source_cap", "doc_pii_scrub", "doc_dup_spans",
     "doc_dup_clusters", "doc_inverted_index", "doc_bm25_topk",
     "embedding_label_centroids", "doc_bpe_token_stats",
-    "doc_quality_ensemble",
+    "doc_quality_ensemble", "doc_source_mix", "doc_train_val_test",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
@@ -608,3 +608,29 @@ def test_query_registry_consistent(con):
     assert set(gq.ORACLES) <= set(gq.QUERIES)
     for name, sql in gq.ORACLES.items():
         con.execute(f"EXPLAIN {sql}")
+
+
+def test_source_mix_and_split_semantics(ray_session):
+    """Mixing honors per-source rates exactly (1.0 keeps all, 0.0 drops
+    all); the split partitions every doc exactly once with ~80/10/10."""
+    from stats_ray.ops.text import mix_sources, train_val_test
+
+    mixed = mix_sources(SF, rates={"src0": 1.0, "src1": 0.0}).to_pandas()
+    by = mixed.groupby("source").size()
+    assert by.get("src0", 0) == 25 and "src1" not in by.index
+    # other sources at ~50% of 25 docs each
+    others = by.drop(index="src0")
+    assert 0.25 < others.mean() / 25 < 0.75
+
+    # re-run identical; different seed differs
+    again = mix_sources(SF, rates={"src0": 1.0, "src1": 0.0}).to_pandas()
+    assert sorted(mixed["doc_id"]) == sorted(again["doc_id"])
+    other_seed = mix_sources(SF, rates={"src0": 1.0, "src1": 0.0},
+                             seed=10).to_pandas()
+    assert sorted(other_seed["doc_id"]) != sorted(mixed["doc_id"])
+
+    split = train_val_test(SF).to_pandas()
+    assert len(split) == 500 and split["doc_id"].is_unique
+    frac = split["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.05 < frac["val"] < 0.15 and 0.05 < frac["test"] < 0.15
