@@ -99,6 +99,17 @@ def cmd_db(args):
     print(json.dumps({"rows": ray.data.read_parquet(args.out).count()}))
 
 
+def cmd_compact(args):
+    """Small-file compaction: re-emit a Parquet directory as ~target-MB
+    files (the reference's 10M-files/month pain, solved at the layout)."""
+    _ray()
+    from .ops.io import compact_parquet
+    print(json.dumps(compact_parquet(
+        args.input, args.out, target_mb=args.target_mb,
+        partition_cols=args.partition_cols.split(",")
+        if args.partition_cols else None)))
+
+
 def cmd_db_cutoff(args):
     """tools/stats `cutoff` analogue: percentile of the binary db's codec
     ratings per format."""
@@ -230,6 +241,13 @@ def main(argv=None):
     sp.add_argument("--corpus", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_db)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--target-mb", type=int, default=256, dest="target_mb")
+    sp.add_argument("--partition-cols", default=None, dest="partition_cols")
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("db-cutoff")
     sp.add_argument("--db", required=True)

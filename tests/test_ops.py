@@ -634,3 +634,26 @@ def test_source_mix_and_split_semantics(ray_session):
     frac = split["split"].value_counts(normalize=True)
     assert 0.7 < frac["train"] < 0.9
     assert 0.05 < frac["val"] < 0.15 and 0.05 < frac["test"] < 0.15
+
+
+def test_compact_parquet_reduces_files_preserves_rows(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.io import compact_parquet
+
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(40):                       # 40 tiny files
+        pq.write_table(pa.table({"doc_id": pa.array(
+            range(i * 10, i * 10 + 10), pa.int64()),
+            "v": pa.array([float(i)] * 10)}), src / f"part-{i:03d}.parquet")
+    out = str(tmp_path / "compact")
+    acct = compact_parquet(str(src), out, target_mb=64)
+    assert acct["files_in"] == 40
+    assert acct["files_out"] < 40             # genuinely compacted
+    got = pd.read_parquet(out).sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 400
+    assert got["doc_id"].tolist() == list(range(400))
