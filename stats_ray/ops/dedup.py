@@ -849,3 +849,52 @@ def dup_clusters(sf_dir: str, k: int = 5, hash_grams: bool = False) -> Dataset:
     pairs = bucketed_group_map(_gram_windows(sf_dir, k, hash_grams),
                                ["gram"], star_edges)
     return propagate_min_labels(pairs)
+
+
+def corpus_diff(left: Dataset, right: Dataset,
+                n_buckets: int = 64) -> Dataset:
+    """Dataset-versioning diff: classify every doc_id as 'added' (right
+    only), 'removed' (left only) or 'changed' (both sides, different
+    content md5) between two corpus versions — the audit every managed
+    training-set pipeline runs before promoting a new snapshot.
+
+    Scale shape: each side reduces to (doc_id, md5) in its map pass (text
+    never crosses the exchange), sides are tagged and co-partitioned by
+    ONE doc_id-bucket hash exchange (the union+groupby pattern the as-of
+    join and incremental dedup use), and each bucket classifies its rows
+    vectorized. Unchanged docs are dropped in-bucket, so the output is
+    |diff|, not |corpus|."""
+
+    def digest(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "md5": df["text"].map(
+                    lambda t: hashlib.md5(t.encode()).hexdigest()),
+                "side": side,
+            })
+        return fn
+
+    tagged = left.map_batches(digest("l"), batch_format="pandas").union(
+        right.map_batches(digest("r"), batch_format="pandas"))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        piv = (df.pivot_table(index="doc_id", columns="side", values="md5",
+                              aggfunc="first").reset_index())
+        for c in ("l", "r"):
+            if c not in piv.columns:
+                piv[c] = None
+        added = piv["l"].isna()
+        removed = piv["r"].isna()
+        changed = piv["l"].notna() & piv["r"].notna() & (piv["l"] != piv["r"])
+        keep = added | removed | changed
+        out = piv.loc[keep, ["doc_id"]].copy()
+        out["status"] = np.where(added[keep], "added",
+                                 np.where(removed[keep], "removed",
+                                          "changed"))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    from ..exchange import bucketed_group_map
+    return bucketed_group_map(tagged, ["doc_id"], classify,
+                              nbuckets=n_buckets)

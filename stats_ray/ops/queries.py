@@ -761,6 +761,54 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
 """
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Corpus-version diff against a deterministically derived v2 of the
+    documents table (docs with doc_id%11==0 edited, %13==0 deleted, and 20
+    new docs appended) — exercises added/removed/changed in one query."""
+    import pandas as pd
+    import ray.data
+
+    from .dedup import corpus_diff
+    from .text import read_documents
+
+    left = read_documents(sf_dir, ["doc_id", "text"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 13 != 0].copy()          # deletions
+        ed = df["doc_id"] % 11 == 0
+        df.loc[ed, "text"] = df.loc[ed, "text"] + " EDITED"
+        return df
+
+    right = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        derive, batch_format="pandas")
+    new = pd.DataFrame({"doc_id": [10_000_000 + i for i in range(20)],
+                        "text": [f"new doc {i}" for i in range(20)]})
+    right = right.union(ray.data.from_pandas(new))
+    df = corpus_diff(left, right).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_CORPUS_DIFF = """
+WITH l AS (SELECT doc_id, md5(text) AS h FROM documents),
+r0 AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 11 = 0 THEN text || ' EDITED'
+                       ELSE text END) AS h
+       FROM documents WHERE doc_id % 13 <> 0),
+r AS (SELECT * FROM r0
+      UNION ALL
+      SELECT 10000000 + i, md5('new doc ' || CAST(i AS VARCHAR))
+      FROM range(20) t(i)),
+j AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.h AS lh, r.h AS rh
+      FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN lh IS NULL THEN 'added'
+            WHEN rh IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j WHERE lh IS NULL OR rh IS NULL OR lh <> rh
+ORDER BY doc_id
+"""
+
+
 def _q_source_mix(sf_dir: str):
     from .text import mix_sources
     # pinned demo rates: src0 kept fully, src1 dropped, others 50%
@@ -1279,6 +1327,7 @@ QUERIES = {
     "range_join_bands": _q_range_join,
     "doc_vocab_topk": _q_vocab_topk,
     "doc_sample_det": _q_sample_det,
+    "doc_corpus_diff": _q_corpus_diff,
     "doc_source_mix": _q_source_mix,
     "doc_train_val_test": _q_train_val_test,
     "doc_tfidf": _q_tfidf,
@@ -1339,6 +1388,7 @@ ORACLES = {
     "range_join_bands": _SQL_RANGE_JOIN,
     "doc_vocab_topk": _SQL_VOCAB_TOPK,
     "doc_sample_det": _SQL_SAMPLE_DET,
+    "doc_corpus_diff": _SQL_CORPUS_DIFF,
     "doc_source_mix": _SQL_SOURCE_MIX,
     "doc_train_val_test": _SQL_TRAIN_VAL_TEST,
     "doc_tfidf": _SQL_TFIDF,

@@ -51,6 +51,7 @@ def _norm(df):
     "doc_dup_clusters", "doc_inverted_index", "doc_bm25_topk",
     "embedding_label_centroids", "doc_bpe_token_stats",
     "doc_quality_ensemble", "doc_source_mix", "doc_train_val_test",
+    "doc_corpus_diff",
 ])
 def test_generic_vs_oracle(ray_session, con, name):
     from stats_ray.ops import queries as gq
