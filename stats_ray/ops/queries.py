@@ -852,6 +852,14 @@ FROM u ORDER BY doc_id
 
 # --- rows-only (non-SQL-expressible) -----------------------------------------
 
+def _q_compress_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (rows-only: no zlib in the
+    oracle engine; bounds + determinism pinned in pytest)."""
+    from .text import compression_ratio
+    return _pd(compression_ratio(sf_dir)).sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q_minhash(sf_dir: str):
     from .dedup import minhash_dup_pairs
     return minhash_dup_pairs(sf_dir, threshold=0.3)
@@ -1326,6 +1334,7 @@ QUERIES = {
     "events_value_quantiles": _q_value_quantiles,
     "range_join_bands": _q_range_join,
     "doc_vocab_topk": _q_vocab_topk,
+    "doc_compress_ratio": _q_compress_ratio,
     "doc_sample_det": _q_sample_det,
     "doc_corpus_diff": _q_corpus_diff,
     "doc_source_mix": _q_source_mix,

@@ -66,7 +66,7 @@ BPE_SPLIT_PATTERN = (
 
 
 class BpeTokenStats:
-    """Token counting under a BPE-ish pretokenizer (the contract LLM data
+    r"""Token counting under a BPE-ish pretokenizer (the contract LLM data
     pipelines actually budget by, vs the \S+ whitespace count in
     TokenStats): per doc, the pretoken count and mean pretoken length.
     Compiled once per actor; vectorized findall per batch."""
@@ -590,3 +590,28 @@ def train_val_test(sf_dir: str, seed: int = 4) -> Dataset:
 
     return read_documents(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pandas")
+
+
+def compression_ratio(sf_dir: str, level: int = 6) -> Dataset:
+    """Per-doc zlib compression ratio — the classic cheap repetition /
+    low-entropy detector (public technique used alongside the Gopher
+    repetition rules: highly compressible text is boilerplate or spam).
+    ratio = compressed_bytes / max(raw_bytes, 1), rounded to 4 dp.
+
+    Embarrassingly parallel, no state; rows-only by design (no zlib in
+    the SQL oracle engine) — determinism and known-plaintext bounds are
+    pinned in pytest."""
+    import zlib
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode() for t in df["text"]]
+        ratio = [len(zlib.compress(b, level)) / max(len(b), 1) for b in raw]
+        f = 1e4
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_bytes": pd.Series([len(b) for b in raw], dtype="int64"),
+            "compress_ratio": np.floor(np.array(ratio) * f + 0.5) / f,
+        })
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")

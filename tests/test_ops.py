@@ -658,3 +658,26 @@ def test_compact_parquet_reduces_files_preserves_rows(ray_session, tmp_path):
     got = pd.read_parquet(out).sort_values("doc_id").reset_index(drop=True)
     assert len(got) == 400
     assert got["doc_id"].tolist() == list(range(400))
+
+
+def test_compression_ratio_signal(ray_session, tmp_path):
+    """zlib ratio separates repetitive from diverse text and is
+    deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops.text import compression_ratio
+    import numpy as np
+    rng = np.random.RandomState(5)
+    texts = ["spam " * 200,                                  # repetitive
+             "".join(chr(c) for c in rng.randint(33, 123, 1000))]  # diverse
+    pq.write_table(pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    out = (compression_ratio(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["compress_ratio"].iloc[0] < 0.1      # boilerplate squashes
+    assert out["compress_ratio"].iloc[1] > 0.5      # diverse text doesn't
+    again = (compression_ratio(str(tmp_path)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(again)
