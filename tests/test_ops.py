@@ -681,3 +681,21 @@ def test_compression_ratio_signal(ray_session, tmp_path):
     again = (compression_ratio(str(tmp_path)).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     assert out.equals(again)
+
+
+def test_posting_index_consistent_with_oracle_checked_index(ray_session,
+                                                            tmp_path):
+    """The production list<int64> Parquet index serves exactly the postings
+    the oracle-checked string-form index reports, for every token, at the
+    driver's compare corpus."""
+    from stats_ray.ops.retrieval import (inverted_index, lookup_postings,
+                                         write_posting_index)
+
+    idx = str(tmp_path / "pidx")
+    write_posting_index(SF, idx)
+    want = inverted_index(SF).to_pandas()
+    assert len(want) > 10
+    for _, row in want.iterrows():
+        got = lookup_postings(idx, row["token"]).tolist()
+        assert got == [int(x) for x in row["postings"].split(",")], \
+            row["token"]
