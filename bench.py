@@ -192,10 +192,12 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
     out = {}
     for n in (lo, hi):
-        # single pass per leg: the ratio is what matters, and both legs
-        # see the same machine state back-to-back
+        # best-of-2 per leg: a single unlucky pass on this shared host can
+        # halve one leg's throughput and corrupt the ratio (measured: the
+        # same engine's 16-CPU leg ranged 34-55 s across runs); the min of
+        # two passes per leg keeps the ratio about the engine
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
-                   BENCH_PASSES=os.environ.get("BENCH_PASSES", "1"))
+                   BENCH_PASSES=os.environ.get("BENCH_PASSES", "2"))
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         out[n] = json.loads(r.stdout.strip().splitlines()[-1])
