@@ -67,3 +67,38 @@ def test_unsupported_how_raises(ray_session):
     with pytest.raises(ValueError, match="unsupported how"):
         hash_join(ds, ds, on="k", left_cols=["v"], right_cols=["v"],
                   how="outer")
+
+
+def test_hash_join_rejects_non_integer_and_null_keys(ray_session):
+    """The integer-key contract fails loudly: string keys at planning
+    time, nullable keys at bucketing time (a NaN->uint64 cast would
+    mis-bucket silently)."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from stats_ray.ops.relational import hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", "b"], "x": [1, 2]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", "b"], "y": [3, 4]}))
+    with pytest.raises(ValueError, match="integer column"):
+        hash_join(left, right, on="k", left_cols=["x"], right_cols=["y"])
+
+    nl = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.array([1, None], dtype="Int64"), "x": [1, 2]}))
+    nr = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.array([1, 2], dtype="Int64"), "y": [3, 4]}))
+    with pytest.raises(Exception, match="nulls|integer"):
+        hash_join(nl, nr, on="k", left_cols=["x"],
+                  right_cols=["y"]).to_pandas()
+
+
+def test_bloom_int_path_rejects_nullable_keys():
+    import numpy as np
+    import pytest
+
+    from stats_ray.ops.dedup import _bloom_positions_int
+    with pytest.raises(ValueError, match="integer-typed"):
+        _bloom_positions_int(np.array([1.0, np.nan]), 1 << 20)
