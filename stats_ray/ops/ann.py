@@ -731,7 +731,10 @@ def pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10, m: int = 8,
                 # ADC: sum of m LUT gathers, fully vectorized over the block
                 dist = self.luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
                 mask = ids != qid
-                order = np.argsort(dist[mask], kind="stable")[:k]
+                # same (adist, neighbor_id) tie-break as the driver merge:
+                # identical codes give identical adist, and a block-order
+                # tie-break would make the k boundary depend on partitioning
+                order = np.lexsort((ids[mask], dist[mask]))[:k]
                 frames.append(pd.DataFrame({
                     "query_id": qid, "neighbor_id": ids[mask][order],
                     "adist": dist[mask][order]}))

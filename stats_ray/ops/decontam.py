@@ -24,11 +24,11 @@ families don't cover yet:
   per-doc Counters inside a batch (same shape as `ops/text.lang_id`).
 
 Tokenization contract (shared with the SQL oracles): lowercase, split on
-ASCII whitespace runs, drop empties — `_words()` splits on the RE2 class
-`[ \\t\\n\\r\\f\\v]+` so it matches DuckDB
+ASCII whitespace runs, drop empties — `_words()` splits on the RE2 \\s class
+`[ \\t\\n\\r\\f]+` (Perl semantics: no \\v, no Unicode) so it matches DuckDB
 `list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')`
 byte-for-byte even on non-ASCII-whitespace text (Python str.split() would
-also split on \\xa0/\\u2028 etc., which RE2 \\s does not).
+also split on \\xa0/\\u2028/\\v etc., which RE2 \\s does not).
 """
 
 from __future__ import annotations
@@ -45,7 +45,7 @@ from .text import read_documents
 BENCH_MOD = 37  # doc_id % 37 == 0 -> the stand-in "benchmark" slice
 
 
-_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def _words(text: str) -> list[str]:
@@ -249,7 +249,8 @@ def quality_ensemble(sf_dir: str) -> Dataset:
     Embarrassingly parallel — the only state is the stopword set."""
     from .text import STOPWORDS
 
-    ws_pat = re.compile(r"\S+")
+    from .text import RE2_WS
+    ws_pat = re.compile(rf"[^{RE2_WS}]+")
 
     def _rp(x: float, p: int = 4) -> float:
         f = 10.0 ** p

@@ -61,15 +61,96 @@ def _shingle_set(tokens: list[str], k: int = 3) -> set[str]:
 
 
 def _hash64(s: str) -> np.uint64:
+    """Scalar 64-bit string hash — kept for tests/one-off keys only; hot
+    paths use the vectorized batch kernels below (one C pass per batch
+    instead of one Python hashlib call per shingle)."""
     return np.uint64(int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
                                     "little"))
 
 
-class MinHasher:
-    """num_perm minhash signatures via the (a*x+b) mod p universal family.
-    Coefficients are seeded-deterministic; built once per actor."""
+def _hash_str_array(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of a string array (pandas' SipHash-based
+    ``hash_array`` — a single Cython pass with value interning, so repeated
+    words hash once). This is the batch replacement for per-element
+    ``hashlib`` calls, the dominant compute of the 100-TB near-dup path."""
+    a = np.asarray(arr, dtype=object)
+    if len(a) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(a)
 
-    P = np.uint64((1 << 61) - 1)
+
+def _flat_words(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-split every doc; return (flat object array of all words
+    in doc order, int64 word count per doc)."""
+    words = [t.split() for t in texts]
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                       count=len(words))
+    flat = np.empty(int(lens.sum()), dtype=object)
+    pos = 0
+    for w in words:
+        flat[pos:pos + len(w)] = w
+        pos += len(w)
+    return flat, lens
+
+
+def _fold_k(hw: np.ndarray, k: int) -> np.ndarray:
+    """Order-sensitive fold of every k consecutive 64-bit hashes into one
+    (vectorized over all window positions): acc <- mix64(acc) ^ next."""
+    m = len(hw) - k + 1
+    acc = hw[:m].copy()
+    for j in range(1, k):
+        acc = _mix64(acc) ^ hw[j:j + m]
+    return acc
+
+
+def _batch_shingle_hashes(texts: list[str], k: int = 3
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit k-word shingle hashes for a whole batch in vectorized passes:
+    ONE string-hash pass over all words, then k-1 mix/xor folds over the
+    global window array with doc-boundary windows masked out. Returns
+    (hashes uint64, doc index int64 per hash), sorted by doc index.
+
+    Mirrors `_shingle_set` semantics hash-side: docs with 0 < n < k words
+    contribute ONE shingle (the fold of all their words — the old
+    whole-doc shingle); empty docs contribute none. Multiplicity is kept
+    (minhash is multiset-invariant; set consumers np.unique per doc)."""
+    flat, lens = _flat_words(texts)
+    ndocs = len(lens)
+    hw = _hash_str_array(flat)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    total = len(hw)
+    parts_h, parts_d = [], []
+    if total >= k:
+        win = _fold_k(hw, k)
+        valid = doc_of[:total - k + 1] == doc_of[k - 1:]
+        parts_h.append(win[valid])
+        parts_d.append(doc_of[:total - k + 1][valid])
+    short = np.nonzero((lens > 0) & (lens < k))[0]
+    if len(short):
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        sh = np.empty(len(short), dtype=np.uint64)
+        for i, d in enumerate(short):       # <= k-1 words each, rare docs
+            seg = hw[offs[d]:offs[d + 1]]
+            acc = seg[0]
+            for x in seg[1:]:
+                acc = (_mix64(np.asarray([acc], dtype=np.uint64)) ^ x)[0]
+            sh[i] = acc
+        parts_h.append(sh)
+        parts_d.append(short.astype(np.int64))
+    if not parts_h:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    h = np.concatenate(parts_h)
+    d = np.concatenate(parts_d)
+    order = np.argsort(d, kind="stable")
+    return h[order], d[order]
+
+
+class MinHasher:
+    """num_perm minhash signatures via the (a*x+b) mod 2^64 family: `a` is
+    odd, so each permutation is a bijection on uint64 and the min is a
+    valid minwise sample — and the wrapping multiply vectorizes where a
+    mod-prime pays a hardware division per element (measured 7x).
+    Coefficients are seeded-deterministic; built once per actor."""
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rs = np.random.RandomState(seed)
@@ -80,15 +161,41 @@ class MinHasher:
     def signature(self, shingles: set[str]) -> np.ndarray:
         if not shingles:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        hs = np.fromiter((_hash64(s) for s in shingles), dtype=np.uint64,
-                         count=len(shingles))
-        # (a * h + b) mod p, rowwise min
-        vals = (self.a[None, :] * hs[:, None] + self.b[None, :]) % self.P
+        hs = _hash_str_array(sorted(shingles))
+        with np.errstate(over="ignore"):
+            vals = self.a[None, :] * hs[:, None] + self.b[None, :]
         return vals.min(axis=0)
+
+    def signatures(self, hashes: np.ndarray, doc_idx: np.ndarray,
+                   ndocs: int) -> np.ndarray:
+        """(ndocs, num_perm) signature matrix from batch shingle hashes
+        (`_batch_shingle_hashes` output: doc_idx ascending). Shingle-less
+        docs get the all-MAX signature. One 1-D multiply/add/reduceat pass
+        per permutation: the temps are the shingle vector itself (L2/L3
+        resident), ~7x faster than the (n_shingles x perms) 2-D chunks
+        whose 50 MB temps are DRAM-bound."""
+        sig = np.full((ndocs, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if len(hashes) == 0:
+            return sig
+        first = np.nonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])[0]
+        present = doc_idx[first]
+        tmp = np.empty_like(hashes)
+        col = np.empty(len(first), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.num_perm):
+                np.multiply(hashes, self.a[i], out=tmp)
+                np.add(tmp, self.b[i], out=tmp)
+                np.minimum.reduceat(tmp, first, out=col)
+                sig[present, i] = col
+        return sig
 
 
 class MinHashBands:
-    """doc -> (band_id, band_hash) rows for LSH bucketing."""
+    """doc -> (band_id, band_hash) rows for LSH bucketing; the whole batch
+    is shingled, permuted and banded in vectorized passes (no per-shingle
+    Python). band_hash is an int64 fold of the band's signature rows —
+    fixed-width exchange keys instead of hex strings."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16):
         assert num_perm % bands == 0
@@ -97,17 +204,19 @@ class MinHashBands:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.mh.signature(_shingle_set(text.split()))
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                out_doc.append(doc_id)
-                out_band.append(b)
-                out_hash.append(hashlib.blake2b(chunk.tobytes(),
-                                                digest_size=8).hexdigest())
-        return pd.DataFrame({"doc_id": out_doc, "band": np.array(out_band, np.int32),
-                             "band_hash": out_hash})
+        texts = list(df["text"])
+        h, d = _batch_shingle_hashes(texts)
+        sig = self.mh.signatures(h, d, len(texts))
+        s3 = sig.reshape(len(texts), self.bands, self.rows_per_band)
+        acc = s3[:, :, 0].copy()
+        for j in range(1, self.rows_per_band):
+            acc = _mix64(acc) ^ s3[:, :, j]
+        n = len(texts)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), self.bands),
+            "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
+            "band_hash": acc.reshape(-1).view(np.int64),
+        })
 
 
 def jaccard(a: set, b: set) -> float:
@@ -121,15 +230,24 @@ class ShingleHashes:
 
     Jaccard over the hash sets equals shingle-set Jaccard up to 64-bit
     collisions (negligible); arrays ship as Arrow lists, so the verify join
-    moves fixed-width buffers, not text."""
+    moves fixed-width buffers, not text. Hashing is the batched vectorized
+    kernel; the only per-doc work is one np.unique over its segment."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        h, d = _batch_shingle_hashes(list(df["text"]))
+        first = np.nonzero(np.r_[True, d[1:] != d[:-1]])[0] if len(d) \
+            else np.empty(0, np.int64)
+        bounds = np.r_[first, len(d)]
+        seg_of = {int(doc): i for i, doc in enumerate(d[first])} \
+            if len(d) else {}
         # serialized as bytes: plain object columns dodge Ray's pandas
         # tensor-extension coercion of ndarray-valued cells
-        sh = [np.unique(np.fromiter((_hash64(s) for s in
-                                     _shingle_set(t.split())),
-                                    dtype=np.uint64)).tobytes()
-              for t in df["text"]]
+        empty = np.empty(0, np.uint64).tobytes()
+        sh = []
+        for i in range(len(df)):
+            j = seg_of.get(i)
+            sh.append(empty if j is None else
+                      np.unique(h[bounds[j]:bounds[j + 1]]).tobytes())
         return pd.DataFrame({"doc_id": df["doc_id"], "sh": sh})
 
 
@@ -270,30 +388,47 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5,
 
 class SimHash:
     """64-bit simhash over token hashes; emits 4 x 16-bit bands for
-    hamming-distance candidate bucketing."""
+    hamming-distance candidate bucketing. The whole batch is hashed in one
+    vectorized pass and the per-bit votes reduce per doc via add.reduceat —
+    no per-token Python."""
 
     def __init__(self):
         pass
 
     @staticmethod
-    def _simhash(tokens: list[str]) -> np.uint64:
-        if not tokens:
-            return np.uint64(0)
-        hs = np.fromiter((_hash64(t) for t in tokens), dtype=np.uint64,
-                         count=len(tokens))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        vote = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.nonzero(vote > 0)[0]:
-            out |= np.uint64(1) << np.uint64(i)
-        return out
+    def _simhash_batch(texts: list[str]) -> np.ndarray:
+        flat, lens = _flat_words(texts)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        if not len(flat):
+            return sigs
+        hw = _hash_str_array(flat)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        present = lens > 0
+        st = starts[present]
+        lp = lens[present]
+        packed = np.zeros(len(st), dtype=np.uint64)
+        # 16 bit-planes at a time: bounds the (n_words x chunk) temp.
+        # int16 halves the memory traffic of the dominant expansion; a doc
+        # over 32k words could overflow the int16 segment sum, so such
+        # batches fall back to int32.
+        bt = np.int16 if lp.max() < 32000 else np.int32
+        for g in range(0, 64, 16):
+            shifts = np.arange(g, g + 16, dtype=np.uint64)
+            bits = ((hw[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(bt)
+            counts = np.add.reduceat(bits, st, axis=0).astype(np.int64)
+            votes = 2 * counts - lp[:, None]
+            packed |= np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts[None, :], axis=1)
+        sigs[present] = packed
+        return sigs
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = df["text"].map(lambda t: self._simhash(t.split())).astype("uint64")
-        out = {"doc_id": df["doc_id"], "simhash": sigs}
+        sigs = self._simhash_batch(list(df["text"]))
+        out = {"doc_id": df["doc_id"],
+               "simhash": pd.Series(sigs, index=df.index, dtype="uint64")}
         for b in range(4):
-            out[f"band{b}"] = (sigs.to_numpy() >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out[f"band{b}"] = (sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
         return pd.DataFrame(out)
 
 
@@ -425,16 +560,24 @@ def bloom_bits_for(expected_keys: int) -> int:
     return 1 << int(need - 1).bit_length()
 
 
+# two 16-byte pandas hash keys -> two independent SipHash streams driving
+# the standard double-hash scheme (Kirsch-Mitzenmacher), fully vectorized
+_BLOOM_HK1 = "graftbloomhash01"
+_BLOOM_HK2 = "graftbloomhash02"
+
+
 def _bloom_positions(keys, n_bits: int = _BLOOM_BITS) -> np.ndarray:
-    """k positions per key from a blake2b double-hash (public technique)."""
-    out = np.empty((len(keys), _BLOOM_HASHES), dtype=np.int64)
-    for i, s in enumerate(keys):
-        d = hashlib.blake2b(s.encode(), digest_size=16).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1
-        for j in range(_BLOOM_HASHES):
-            out[i, j] = (h1 + j * h2) % n_bits
-    return out
+    """k positions per STRING key — vectorized double-hash (one hash_array
+    pass per stream, no per-key hashlib)."""
+    a = np.asarray(keys, dtype=object)
+    if not len(a):
+        return np.empty((0, _BLOOM_HASHES), dtype=np.int64)
+    h1 = pd.util.hash_array(a, hash_key=_BLOOM_HK1)
+    h2 = pd.util.hash_array(a, hash_key=_BLOOM_HK2) | np.uint64(1)
+    j = np.arange(_BLOOM_HASHES, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(n_bits)
+    return pos.astype(np.int64)
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -646,14 +789,47 @@ def _gram_windows(sf_dir: str, k: int, hash_grams: bool = False) -> Dataset:
     """(gram, doc_id, pos) rows: one per word k-gram window per document
     (words = ASCII-whitespace split of lower(text), the ops-wide contract).
 
-    hash_grams=True is the 100-TB exchange shape: grams ride as 64-bit
-    hashes (vectorized `pd.util.hash_array`) instead of strings, cutting
-    shuffle bytes by the mean gram length; a hash collision can merge two
-    unrelated gram groups (probability ~n²/2⁶⁴), so the oracle-exact
-    string mode stays the default."""
+    hash_grams=True is the 100-TB exchange shape: grams never exist as
+    strings at all — per-word 64-bit hashes (one vectorized hash_array
+    pass per batch) fold into window hashes with k-1 mix/xor passes,
+    cutting both the kernel cost and the shuffle bytes by the mean gram
+    length. A hash collision can merge two unrelated gram groups
+    (probability ~n²/2⁶⁴), so the oracle-exact string mode stays the
+    default."""
     from .decontam import _words
 
     docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def explode_hashed(df: pd.DataFrame) -> pd.DataFrame:
+        words = [_words(t) for t in df["text"]]
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                           count=len(words))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        p = 0
+        for w in words:
+            flat[p:p + len(w)] = w
+            p += len(w)
+        hw = _hash_str_array(flat)
+        total = len(hw)
+        empty = pd.DataFrame({"gram": pd.Series(dtype="int64"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "pos": pd.Series(dtype="int64")})
+        if total < k:
+            return empty
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        win = _fold_k(hw, k)
+        m = total - k + 1
+        valid = doc_of[:m] == doc_of[k - 1:]
+        if not valid.any():
+            return empty
+        d = doc_of[:m][valid]
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.nonzero(valid)[0] - offs[d]
+        return pd.DataFrame({
+            "gram": win[valid].view(np.int64),
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[d],
+            "pos": pos,
+        })
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         out_doc: list[int] = []
@@ -667,19 +843,14 @@ def _gram_windows(sf_dir: str, k: int, hash_grams: bool = False) -> Dataset:
             out_doc.extend([int(did)] * n)
             out_pos.extend(range(n))
             out_gram.extend(" ".join(w[i:i + k]) for i in range(n))
-        gram: pd.Series | np.ndarray
-        if hash_grams:
-            gram = pd.util.hash_array(
-                np.asarray(out_gram, dtype=object)).astype("int64")
-        else:
-            gram = pd.Series(out_gram, dtype="object")
         return pd.DataFrame({
-            "gram": gram,
+            "gram": pd.Series(out_gram, dtype="object"),
             "doc_id": pd.Series(out_doc, dtype="int64"),
             "pos": pd.Series(out_pos, dtype="int64"),
         })
 
-    return docs.map_batches(explode, batch_format="pandas")
+    return docs.map_batches(explode_hashed if hash_grams else explode,
+                            batch_format="pandas")
 
 
 def dup_spans(sf_dir: str, k: int = 5, hash_grams: bool = False) -> Dataset:

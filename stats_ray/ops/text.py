@@ -17,7 +17,12 @@ from ray.data import Dataset
 
 from ..exchange import bucketed_agg, bucketed_group_map
 
-_WS = re.compile(r"\S+")
+# DuckDB/RE2's \s is the ASCII class [ \t\n\r\f] (Perl semantics, no \v and
+# no Unicode), while Python re's \s is Unicode-aware (U+00A0, U+2028, ...).
+# Every kernel that an RE2 oracle mirrors spells the class out so both
+# engines tokenize identically on any input, not just ASCII corpora.
+RE2_WS = r" \t\n\r\f"
+_WS = re.compile(rf"[^{RE2_WS}]+")
 STOPWORDS = frozenset({"the", "a", "an", "and", "of", "to", "in", "is", "it"})
 
 
@@ -29,12 +34,13 @@ def read_documents(sf_dir: str, columns=None) -> Dataset:
 class TokenStats:
     """n_tokens / n_chars / stopword ratio / mean word length per doc.
 
-    SQL-mirrorable definitions: tokens = \\S+ matches; nonspace = chars
-    left after stripping all whitespace."""
+    SQL-mirrorable definitions: tokens = RE2-\\S+ matches; nonspace = chars
+    left after stripping all RE2 whitespace (explicit ASCII class — see
+    RE2_WS)."""
 
     def __init__(self):
-        self.ws = re.compile(r"\S+")
-        self.space = re.compile(r"\s")
+        self.ws = re.compile(rf"[^{RE2_WS}]+")
+        self.space = re.compile(rf"[{RE2_WS}]")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.findall(self.ws)
@@ -60,9 +66,12 @@ def token_stats(sf_dir: str) -> Dataset:
 # and RE2 compatibility (no lookahead) so Python re and DuckDB produce the
 # IDENTICAL token stream: contractions | space-prefixed letter runs |
 # space-prefixed digit runs | space-prefixed punct runs | whitespace runs.
+# Whitespace is the explicit RE2 \s class (see RE2_WS): with a bare Python
+# \s, any non-ASCII whitespace (U+00A0, U+2028, ...) would tokenize
+# differently here than in the DuckDB oracle.
 BPE_SPLIT_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+")
+    rf"| ?[A-Za-z]+| ?[0-9]+| ?[^{RE2_WS}A-Za-z0-9']+|[{RE2_WS}]+")
 
 
 class BpeTokenStats:
@@ -98,7 +107,7 @@ class QualityScore:
     in separate columns so the oracle can verify each term."""
 
     def __init__(self):
-        self.ws = re.compile(r"\S+")
+        self.ws = re.compile(rf"[^{RE2_WS}]+")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.findall(self.ws)

@@ -190,10 +190,20 @@ class AggSpill:
         import os
 
         self.dirs: dict[str, str] = {}
+        self._fallback_schemas: dict[str, object] = {}
         for name, ds in report_aggs(parsed).items():
             d = os.path.join(spill_dir, name)
             ds.write_parquet(d, partition_cols=["format"])
             self.dirs[name] = d
+            if not self._partitions(d):
+                # a family with zero rows in EVERY format writes no files at
+                # all, so _empty would have no schema source and renderers
+                # would KeyError on column selection; capture the dataset's
+                # own schema (cheap: the plan just executed and is empty)
+                try:
+                    self._fallback_schemas[name] = ds.schema()
+                except Exception:
+                    self._fallback_schemas[name] = None
         self.parts = {name: self._partitions(d)
                       for name, d in self.dirs.items()}
         self._empties: dict[str, "pd.DataFrame"] = {}
@@ -226,7 +236,17 @@ class AggSpill:
                 df = pq.read_schema(files[0]).empty_table().to_pandas()
                 df.insert(0, "format", pd.Series(dtype="object"))
             else:
-                df = pd.DataFrame()
+                # globally-empty family: no spill files anywhere — fall back
+                # to the schema captured at spill time so renderers can still
+                # select this family's columns
+                schema = self._fallback_schemas.get(name)
+                base = getattr(schema, "base_schema", None)
+                if base is not None:
+                    df = base.empty_table().to_pandas()
+                    if "format" not in df.columns:
+                        df.insert(0, "format", pd.Series(dtype="object"))
+                else:
+                    df = pd.DataFrame()
             self._empties[name] = df
         return self._empties[name].copy()
 
@@ -478,6 +498,7 @@ def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
     Aggregates are per-family entries (cheap relative to parse).
     Returns row counts per family."""
     import glob as _glob
+    import os
 
     from .. import __version__
     from ..state.checkpoints import Manifest
@@ -485,8 +506,21 @@ def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
     manifest = Manifest(out_dir, lineage={"corpus": corpus_dir,
                                           "engine": __version__})
 
-    files = sorted(_glob.glob(f"{corpus_dir}/battles/**/*.parquet",
-                              recursive=True))
+    all_files = [p for p in _glob.glob(f"{corpus_dir}/battles/**/*",
+                                       recursive=True)
+                 if os.path.isfile(p)
+                 and not os.path.basename(p).startswith(("_", "."))]
+    files = sorted(p for p in all_files if p.endswith(".parquet"))
+    if not files:
+        raise FileNotFoundError(
+            f"run_flagship: no .parquet files under {corpus_dir}/battles")
+    if len(files) != len(all_files):
+        # a data file without the .parquet extension would be silently
+        # excluded from every shard (data loss, not an error) — fail loudly
+        extra = sorted(set(all_files) - set(files))[:5]
+        raise ValueError(
+            f"run_flagship: {len(all_files) - len(files)} non-.parquet data "
+            f"files under {corpus_dir}/battles would be skipped: {extra}")
     k = max(1, min(parse_shards, len(files)))
     # deterministic round-robin split: shard membership is a pure function
     # of the sorted file list, so a resumed run sees identical shards

@@ -391,7 +391,10 @@ def db_sizes_table(stats: pd.DataFrame) -> pd.DataFrame:
             sub = g[g["kind"] == which]
             denom = usage.reindex(sub["a"]).to_numpy()
             with np.errstate(divide="ignore", invalid="ignore"):
-                share = np.round(sub["weight"].to_numpy() / denom * 1e4)
+                # Math.round half-up (binary.ts round), not np.round's
+                # half-to-even: a share landing exactly on x.5 must qualify
+                # the same way the reference classifies it
+                share = np.floor(sub["weight"].to_numpy() / denom * 1e4 + 0.5)
             qual = pd.Series(share > 100).groupby(
                 sub["a"].to_numpy()).sum()
             counts[which] = np.sort(

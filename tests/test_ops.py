@@ -85,6 +85,50 @@ def test_minhash_finds_planted_dup(ray_session, tmp_path):
     assert planted["jaccard"].iloc[0] > 0.8
 
 
+def test_vectorized_shingle_kernels_batch_invariant():
+    """The batched near-dup kernels (one vectorized hash pass per batch,
+    no per-shingle Python) must be pure per-doc functions: splitting a
+    batch differently cannot change any doc's shingles, minhash bands or
+    simhash — otherwise dedup results would depend on block boundaries."""
+    import numpy as np
+
+    from stats_ray.ops.dedup import (MinHashBands, MinHasher, ShingleHashes,
+                                     SimHash, _batch_shingle_hashes)
+
+    texts = ["a b c d e", "x y", "", "a b c", "q",
+             "a b c d e extra tail words here"]
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": texts})
+
+    # per-doc shingle multiset: n-k+1 windows, short docs 1, empty 0
+    h, d = _batch_shingle_hashes(texts, 3)
+    import collections
+    assert dict(collections.Counter(d.tolist())) == \
+        {0: 3, 1: 1, 3: 1, 4: 1, 5: 7}
+    # same doc in a different batch -> identical hashes
+    h2, d2 = _batch_shingle_hashes(["zz q", texts[0]], 3)
+    assert sorted(h[d == 0]) == sorted(h2[d2 == 1])
+
+    # shared prefix -> shared shingle hashes (doc 5 extends doc 0)
+    assert set(h[d == 0]) <= set(h[d == 5])
+
+    # empty doc signature is all-MAX; bands/simhash batch-split invariant
+    sig = MinHasher().signatures(h, d, 6)
+    assert (sig[2] == np.iinfo(np.uint64).max).all()
+    for cls in (MinHashBands, SimHash, ShingleHashes):
+        fn = cls()
+        whole = fn(df)
+        split = pd.concat([fn(df.iloc[:2]), fn(df.iloc[2:])],
+                          ignore_index=True)
+        val = [c for c in whole.columns if c != "doc_id"]
+        a = whole.sort_values(
+            list(whole.columns)).reset_index(drop=True)
+        b = split.sort_values(
+            list(split.columns)).reset_index(drop=True)
+        for c in val:
+            assert a[c].tolist() == b[c].tolist(), (cls.__name__, c)
+
+
 def test_simhash_identical_docs_zero_hamming(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -599,6 +643,42 @@ def test_bpe_pretokenizer_matches_reference_semantics(ray_session, tmp_path):
     assert out["mean_tok_len"].tolist()[3] == 0.0
     # token_chars covers the full text (every char in exactly one token)
     assert out["token_chars"].tolist() == [len(t) for t in texts]
+
+
+def test_ws_tokenizers_match_re2_on_nonascii_whitespace(ray_session, tmp_path):
+    """Python re's \\s is Unicode-aware while DuckDB/RE2's is the ASCII
+    class [ \\t\\n\\r\\f] (no \\v, no NBSP/U+2028). The kernels spell the
+    RE2 class out, so engine and oracle must tokenize non-ASCII-whitespace
+    text identically — this pins it on the awkward inputs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops import queries as gq
+    from stats_ray.ops.text import bpe_token_stats, token_stats
+
+    texts = ["a\u00a0b c", "x\u2028y z", "v\x0bw q",
+             "tab\tnl\n mix\u00a0\x0b end", ""]
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    for fn, sql, int_cols in (
+            (bpe_token_stats, gq._SQL_BPE_TOKEN_STATS,
+             ["n_bpe_tokens", "token_chars"]),
+            (token_stats, gq._SQL_TOKEN_STATS,
+             ["n_tokens", "n_chars", "n_stopwords"])):
+        eng = (fn(str(tmp_path)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        ora = (con2.execute(sql).df()
+               .sort_values("doc_id").reset_index(drop=True))
+        for c in int_cols:
+            assert eng[c].astype("int64").tolist() == \
+                ora[c].astype("int64").tolist(), c
+    con2.close()
 
 
 def test_query_registry_consistent(con):
