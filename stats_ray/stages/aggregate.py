@@ -86,7 +86,7 @@ def _side_w(t: pa.Table, parent: np.ndarray, side: np.ndarray,
 
 
 def _hash_grouped(part: Dataset, keys: list[str], how: str = "sum",
-                  nbuckets: int = 128) -> Dataset:
+                  nbuckets: int = 128, salt: int | None = None) -> Dataset:
     """Explicit partitioned hash aggregation for high-cardinality keys.
 
     Ray's native groupby sort-shuffles every partial row on the full key
@@ -94,8 +94,19 @@ def _hash_grouped(part: Dataset, keys: list[str], how: str = "sum",
     Instead: bucket = stable_hash(keys) % nbuckets (one small int column),
     shuffle on the bucket only, and run the real keyed aggregation as a
     vectorized pandas groupby inside each bucket (map_groups). Bucket count
-    bounds per-task memory; hot buckets could be salted further, but the
-    hash already spreads distinct keys uniformly."""
+    bounds per-task memory. Distinct keys spread uniformly under the hash;
+    a single pathological KEY is bounded too, because every explode feeding
+    this exchange partial-combines inside its batch (<=1 row per key per
+    block), so a hot key contributes at most #blocks partial rows to its
+    bucket. For workloads without that pre-combine (or block counts large
+    enough that #blocks-per-key rows still overwhelm one task), ``salt=K``
+    switches to the two-phase salted combine: rows split across K salt
+    values by deterministic row hash, aggregate (keys + salt) first, then
+    re-combine the <=K partials per key in a second, tiny exchange (sum
+    and max both re-aggregate losslessly)."""
+    if salt is not None:
+        from ..exchange import bucketed_agg
+        return bucketed_agg(part, keys, how, nbuckets=nbuckets, salt=salt)
 
     def bucketize(t: pa.Table) -> pa.Table:
         h = np.zeros(len(t), dtype=np.uint64)
@@ -807,11 +818,12 @@ def _explode_fused(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts, promote_options="permissive")
 
 
-def fused_highcard(parsed: Dataset, nbuckets: int = 128) -> Dataset:
+def fused_highcard(parsed: Dataset, nbuckets: int = 128,
+                   salt: int | None = None) -> Dataset:
     part = parsed.map_batches(_explode_fused, batch_format="pyarrow",
                               batch_size=_EXPLODE_BATCH)
     return _hash_grouped(part, ["family", "format", "k1", "k2", "k3"],
-                         nbuckets=nbuckets)
+                         nbuckets=nbuckets, salt=salt)
 
 
 def _split_family(fused: Dataset, family: str, reshape) -> Dataset:

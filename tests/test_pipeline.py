@@ -96,6 +96,46 @@ def test_fused_aggregate_invariant_to_batch_size(parsed):
                                    rtol=1e-9, atol=1e-12)
 
 
+def test_fused_exchange_hot_key_bound_and_salt(parsed):
+    """Hot-key safety of the fused battle exchange, both halves:
+
+    1. The bound the unsalted exchange relies on: every explode feeding
+       `_hash_grouped` partial-combines inside its batch, so each block
+       emits AT MOST ONE row per (family, format, k1, k2, k3) key — a
+       90%-hot key can only put #blocks partial rows in one bucket, never
+       #battles.
+    2. The pressure valve: `fused_highcard(salt=K)` (two-phase salted
+       combine) must produce the identical group set and weights."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stats_ray.stages import aggregate as agg
+
+    # (1) per-batch partial-combine invariant, on a batch with planted
+    # 90% skew: replicate one battle row many times so one species/key
+    # cell dominates the explode
+    t = next(iter(parsed.iter_batches(batch_size=64,
+                                      batch_format="pyarrow")))
+    hot = pa.concat_tables([t.slice(0, 1)] * 576 + [t])
+    out = agg._explode_fused(hot)
+    keys = out.select(["family", "format", "k1", "k2", "k3"]).to_pandas()
+    assert keys.duplicated().sum() == 0, \
+        "explode must emit <=1 row per key per batch"
+
+    # (2) salted == unsalted on the real parsed corpus
+    a = (agg.fused_highcard(parsed).to_pandas()
+         .sort_values(["family", "format", "k1", "k2", "k3"])
+         .reset_index(drop=True))
+    b = (agg.fused_highcard(parsed, salt=4).to_pandas()
+         .sort_values(["family", "format", "k1", "k2", "k3"])
+         .reset_index(drop=True))
+    key_cols = ["family", "format", "k1", "k2", "k3", "i1"]
+    assert a[key_cols].equals(b[key_cols])
+    for c in ("w0", "w1", "w2", "w3"):
+        np.testing.assert_allclose(a[c].to_numpy(), b[c].to_numpy(),
+                                   rtol=1e-9, atol=1e-12)
+
+
 def test_flagship_sharded_parse_resume(ray_session, small_corpus, tmp_path):
     """run_flagship checkpoints the parse at input-shard granularity: a
     crash that loses some shards re-runs ONLY those shards on resume, and
