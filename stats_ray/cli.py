@@ -53,7 +53,20 @@ def _ray():
 def cmd_stats(args):
     _ray()
     from .pipelines.usage import run_flagship
-    counts = run_flagship(args.corpus, args.out,
+    corpus = args.corpus
+    if getattr(args, "from_logs", False):
+        # Raw-log tree ingest (S2): map YYYY-MM-DD/format trees into the
+        # tokens-contract Parquet layout ONCE (under out/ingested), then
+        # run the flagship with its full shard-granular resume on top.
+        from .sources.logs import read_logs_tree
+        ingested = os.path.join(args.out, "ingested")
+        ds = read_logs_tree(args.corpus,
+                            begin=args.begin, end=args.end,
+                            formats=args.formats.split(",")
+                            if args.formats else None)
+        ds.write_parquet(os.path.join(ingested, "battles"))
+        corpus = ingested
+    counts = run_flagship(corpus, args.out,
                           families=args.families.split(",") if args.families
                           else None)
     print(json.dumps(counts))
@@ -212,9 +225,18 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("stats")
-    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--corpus", required=True,
+                    help="tokens-contract Parquet dir, or with --from-logs "
+                         "a raw <format>/<day>/*.log.json(.gz) tree")
     sp.add_argument("--out", required=True)
     sp.add_argument("--families", default=None)
+    sp.add_argument("--from-logs", action="store_true", dest="from_logs")
+    sp.add_argument("--begin", default=None,
+                    help="inclusive first day (YYYY-MM-DD), with --from-logs")
+    sp.add_argument("--end", default=None,
+                    help="inclusive last day (YYYY-MM-DD), with --from-logs")
+    sp.add_argument("--formats", default=None,
+                    help="comma-separated format allowlist, with --from-logs")
     sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("reports")

@@ -1,0 +1,81 @@
+"""Raw battle-log tree ingestion (S2 front-end): the reference reads
+<root>/<format>/<day>/*.log.json(.gz) directly (logs/src/storage.ts:33-56,
+fs.ts:70-78); read_logs_tree must produce rows identical to the Parquet
+tokens path on the same documents."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def log_tree(ray_session, small_corpus, tmp_path_factory):
+    """The small corpus re-materialized as a raw log tree (every 3rd file
+    gzipped to exercise the transparent-gunzip path)."""
+    import ray.data
+
+    from stats_ray.sources.logs import write_log_tree
+
+    root = str(tmp_path_factory.mktemp("logtree"))
+    battles = ray.data.read_parquet(f"{small_corpus}/battles")
+    n = write_log_tree(battles, root, gz_every=3)
+    assert n == battles.count()
+    return root
+
+
+def _key_frame(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    df["tokens"] = df["tokens"].map(lambda a: bytes(list(a)))
+    return (df.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "tokens", "n_tok", "source"]])
+
+
+def test_logs_tree_matches_parquet_path(ray_session, small_corpus, log_tree):
+    import ray.data
+
+    from stats_ray.sources.logs import read_logs_tree
+
+    raw = _key_frame(read_logs_tree(log_tree))
+    pq = _key_frame(ray.data.read_parquet(f"{small_corpus}/battles"))
+    pd.testing.assert_frame_equal(raw, pq)
+
+
+def test_logs_tree_day_range_and_format_select(ray_session, log_tree):
+    import os
+
+    from stats_ray.sources.logs import list_log_tree, read_logs_tree
+
+    fmts = sorted(os.listdir(log_tree))
+    days = sorted(os.listdir(os.path.join(log_tree, fmts[0])))
+    assert len(days) >= 3
+    begin, end = days[1], days[-2]
+    ds = read_logs_tree(log_tree, begin=begin, end=end, formats=[fmts[0]])
+    df = ds.to_pandas()
+    got_days = sorted({s.split("/", 1)[1] for s in df["source"]})
+    # inclusive on both ends (storage.ts:45-47), format allowlist applied
+    assert got_days[0] >= begin and got_days[-1] <= end
+    assert {s.split("/", 1)[0] for s in df["source"]} == {fmts[0]}
+    assert len(df) == len(list_log_tree(log_tree, begin=begin, end=end,
+                                        formats=[fmts[0]]))
+    # empty range yields a typed empty dataset, not an error
+    empty = read_logs_tree(log_tree, begin="2099-01-01")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema().base_schema] == \
+        ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_parse_pipeline_consumes_raw_logs(ray_session, small_corpus,
+                                          log_tree, tmp_path):
+    """End-to-end: the flagship parse runs on raw-ingested rows and its
+    per-format battle counts equal the Parquet path's."""
+    import ray.data
+
+    from stats_ray.pipelines import usage as pl
+    from stats_ray.sources.logs import read_logs_tree
+
+    staged = str(tmp_path / "staged")
+    read_logs_tree(log_tree).write_parquet(f"{staged}/battles")
+    a = (pl.parse_pipeline(staged).to_pandas()
+         .groupby("format").size().sort_index())
+    b = (pl.parse_pipeline(small_corpus).to_pandas()
+         .groupby("format").size().sort_index())
+    pd.testing.assert_series_equal(a, b)
