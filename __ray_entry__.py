@@ -791,7 +791,40 @@ def entry() -> Any:
     return agg.usage_stats(parsed)
 
 
+# Queries the round-4 driver artifact (CORRECTNESS_r04.json) already
+# recorded. The driver samples a PREFIX of queries(); ordering the
+# least-recently-recorded entries first means every registry entry
+# surfaces in a driver artifact at least once across rounds 4+5
+# (selfcheck.py additionally records the full registry every round).
+_PREVIOUSLY_RECORDED = frozenset({
+    "battle_passthrough", "battle_matchups", "battle_weights",
+    "battle_slots", "battle_usage", "battle_movesets", "battle_leads",
+    "battle_battles", "battle_encounters", "battle_checks_counters",
+    "battle_teammates", "battle_metagame", "battle_unique_players",
+    "battle_player_wins", "battle_top_teams", "battle_format_days",
+    "battle_stalliness", "battle_viability", "battle_mono_usage",
+    "battle_rating_percentile", "battle_binary_roundtrip",
+    "battle_binary_stats", "battle_routed_counts", "tpch_q1", "top_orders",
+    "orders_by_nation", "order_lineitem_revenue", "customer_order_counts",
+    "doc_lm_perplexity", "doc_importance_sample", "doc_ppl_buckets",
+    "doc_export_shards", "orders_building_segment", "events_daily",
+    "events_user_stats", "events_sessionize", "dedup_exact",
+    "doc_token_stats", "doc_bpe_token_stats", "doc_quality",
+    "doc_fingerprints", "ann_cosine_topk", "embedding_near_dup",
+    "minhash_dup_pairs", "simhash_dup_pairs", "doc_lang_id", "ann_lsh_topk",
+    "embedding_near_dup_lsh", "events_approx_users",
+    "events_asof_prior_view",
+})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    q = _all_queries()
+    ordered = {k: v for k, v in q.items() if k not in _PREVIOUSLY_RECORDED}
+    ordered.update((k, v) for k, v in q.items() if k in _PREVIOUSLY_RECORDED)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "battle_passthrough": _q_passthrough,
         "battle_matchups": _q_matchups,

@@ -165,13 +165,20 @@ def run_bench() -> dict:
     # noisy-neighbor jitter moves single runs by 1.5-3x (the aggregate
     # phase measured anywhere in 5-38 s across same-engine reps). The
     # fastest pass is the engine's throughput; the rest are the machine's
-    # mood.
+    # mood. EVERY pass is recorded in `samples` (wall time + a quick
+    # post-pass host probe + the derived probe-seconds) so the artifact
+    # carries the evidence, not just the surviving minimum — host load can
+    # rise mid-run and a single pre-run probe would miss it.
     n_passes = int(os.environ.get("BENCH_PASSES", "3"))
-    total, queries = one_pass()
-    for _ in range(n_passes - 1):
+    samples = []
+    for _ in range(n_passes):
         t2, q2 = one_pass()
-        if t2 < total:
-            total, queries = t2, q2
+        p2 = host_probe(ncpus, reps=1)
+        samples.append({"value": t2, "queries": q2, "probe": p2,
+                        "probe_seconds": round(
+                            t2 * p2["saturation_efficiency"], 2)})
+    best = min(samples, key=lambda s: s["value"])
+    total, queries = best["value"], best["queries"]
     return {
         "metric": "flagship battle pipeline (parse+enrich+aggregate) wall sec",
         "value": total, "unit": "sec", "queries": queries,
@@ -180,7 +187,26 @@ def run_bench() -> dict:
         "battles_per_sec": round(n_battles / queries["parse_route"], 1),
         "pipeline_battles_per_sec": round(n_battles / total, 1),
         "host_probe": probe,
+        # headline normalized by the probe taken right after the best pass
+        "probe_seconds": best["probe_seconds"],
+        "samples": samples,
+        **_recorded_scaling(),
     }
+
+
+def _recorded_scaling() -> dict:
+    """Attach the most recent `bench.py --scaling` result (written to
+    SCALING.json next to this file) so the criterion pair is inside the
+    machine-readable BENCH artifact. The pair itself takes ~5 min at sf0.1
+    (the 4-CPU leg runs the full pipeline twice) and is run explicitly, not
+    on every bench invocation; the embedded record carries its own per-leg
+    host probes for freshness/noise context."""
+    sp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "SCALING.json")
+    if not os.path.exists(sp):
+        return {}
+    with open(sp) as f:
+        return {"scaling_recorded": json.load(f)}
 
 
 def run_scaling() -> dict:
@@ -232,7 +258,11 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        scaling = run_scaling()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING.json"), "w") as f:
+            json.dump(scaling, f, indent=1)
+        print(json.dumps(scaling))
     else:
         result = run_bench()
         import ray
