@@ -220,7 +220,53 @@ def cmd_quarantine(args):
     print(json.dumps({"good": int(good.count()), "errors": len(err)}))
 
 
+def cmd_run(argv):
+    """`run` — the `process <worker>` analogue with dynamic worker loading
+    (process:65-101): parse the base options first, load the worker (by
+    registry name, module:Class, or /path/to/file.py:Class), merge the
+    worker's own option descriptors into a second parser, then re-parse the
+    remaining argv STRICTLY so unknown arguments fail loudly only once the
+    full option set is registered."""
+    from .workers import load_worker, run_worker, worker_options
+
+    base = argparse.ArgumentParser(prog="stats_ray run")
+    base.add_argument("--worker", required=True,
+                      help="registry name (e.g. stats/usage), module:Class, "
+                           "or /path/to/worker.py:Class")
+    base.add_argument("--corpus", required=True)
+    base.add_argument("--out", required=True)
+    known, rest = base.parse_known_args(argv)
+
+    cls = load_worker(known.worker)
+    wp = argparse.ArgumentParser(
+        prog=f"stats_ray run --worker {known.worker}")
+    for name, o in worker_options(cls).items():
+        alias = o.get("alias") or []
+        alias = [alias] if isinstance(alias, str) else list(alias)
+        flags = [f"--{name}"] + [f"-{a}" if len(a) == 1 else f"--{a}"
+                                 for a in alias]
+        wp.add_argument(*flags, dest=name, type=o.get("parse", str),
+                        default=o.get("default"), help=o.get("desc", ""))
+    config = vars(wp.parse_args(rest))  # strict: unknown args error here
+
+    _ray()
+    counts = run_worker(cls, known.corpus, known.out, config)
+    print(json.dumps(counts))
+
+
 def main(argv=None):
+    if argv is None:
+        import sys
+        argv = sys.argv[1:]
+    if argv and argv[0] == "run":
+        # two-phase worker-option parsing can't pre-declare its arguments,
+        # so `run` owns its own argv (mirroring the reference's reparse)
+        try:
+            return cmd_run(argv[1:])
+        finally:
+            import ray
+            if ray.is_initialized():
+                ray.shutdown()
     p = argparse.ArgumentParser(prog="stats_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -1,0 +1,144 @@
+"""Dynamic worker-module extension surface (SURVEY §2.11).
+
+The reference's `process` driver accepts a worker by registry name OR by a
+path to foreign worker code, merges the worker's own CLI option descriptors
+into the argument parser, and re-parses argv once the full option set is
+known (`/root/reference/process:18-27,65-101`). A worker module exposes
+`options` / `init` / `accept` / `apply` / `combine`
+(`logs/src/worker.ts:14-29`).
+
+The Ray-Data-first translation: a worker is a CLASS whose `apply` is a
+Dataset -> Dataset transform (so the engine keeps streaming execution and
+the worker composes `map_batches`/`groupby` itself), with the same
+surrounding protocol:
+
+    class Worker:
+        options = {                      # merged into the CLI (two-phase)
+            "threshold": {"desc": "...", "alias": ["t"],
+                          "parse": float, "default": 0.5},
+        }
+        def __init__(self, config: dict): ...   # init(config) analogue
+        def accept(self, fmt: str) -> bool: ... # optional format gate
+        def apply(self, ds) -> "ray.data.Dataset": ...      # required
+        def combine(self, fmt: str, df): ...    # optional per-format merge
+
+`accept` prunes formats BEFORE the worker runs (a partition-level filter,
+like the reference's per-format batch selection); `combine` runs per format
+inside `groupby("format").map_groups` — distributed, one task per format —
+mirroring the reference's per-format checkpoint merge.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import os
+from typing import Any
+
+# Built-in registry — the `workflows/` analogue (process:29-42). Names map
+# to "module:Class" specs resolved through the same loader as foreign code.
+BUILTIN_WORKERS: dict[str, str] = {
+    "stats/usage": "stats_ray.workers:UsageWorker",
+}
+
+
+class UsageWorker:
+    """Registry example: weighted usage per (format, cutoff, species)."""
+
+    options = {
+        "cutoff": {"desc": "single rating cutoff to keep (default: all)",
+                   "parse": float, "default": None},
+    }
+
+    def __init__(self, config: dict):
+        self.cutoff = config.get("cutoff")
+
+    def apply(self, ds):
+        from .stages import aggregate as agg
+        out = agg.usage_stats(ds)
+        if self.cutoff is not None:
+            cutoff = self.cutoff
+            out = out.filter(lambda r: r["cutoff"] == cutoff)
+        return out
+
+
+def load_worker(spec: str):
+    """Resolve a worker class from a registry name, ``module:Class``, or
+    ``/path/to/file.py:Class`` (Class defaults to ``Worker``). Mirrors
+    `createWorker` (process:18-27): load the code, surface its `options`."""
+    spec = BUILTIN_WORKERS.get(spec, spec)
+    mod_ref, _, cls_name = spec.partition(":")
+    cls_name = cls_name or "Worker"
+    if mod_ref.endswith(".py") or os.path.sep in mod_ref:
+        name = os.path.basename(mod_ref)
+        name = name[:-3] if name.endswith(".py") else name
+        loader_spec = importlib.util.spec_from_file_location(
+            f"stats_ray_worker_{name}", mod_ref)
+        if loader_spec is None or loader_spec.loader is None:
+            raise FileNotFoundError(f"worker module not found: {mod_ref}")
+        mod = importlib.util.module_from_spec(loader_spec)
+        loader_spec.loader.exec_module(mod)
+    else:
+        mod = importlib.import_module(mod_ref)
+    try:
+        return getattr(mod, cls_name)
+    except AttributeError as e:
+        raise AttributeError(
+            f"worker module {mod_ref!r} has no class {cls_name!r}") from e
+
+
+def worker_options(worker_cls) -> dict[str, dict]:
+    opts = getattr(worker_cls, "options", None) or {}
+    for name, o in opts.items():
+        if not isinstance(o, dict):
+            raise TypeError(f"worker option {name!r} must be a dict "
+                            "(desc/alias/parse/default)")
+    return opts
+
+
+def run_worker(worker_cls, corpus: str, out: str,
+               config: dict[str, Any]) -> dict[str, int]:
+    """Drive a worker over the parsed corpus: accept-gate formats, apply,
+    optional per-format combine, write partitioned Parquet under ``out``.
+
+    The accept gate prunes with a vectorized per-batch mask over the small
+    set of distinct formats (computed once on the driver — format
+    cardinality is tiny); combine runs distributed via map_groups."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.usage import parse_pipeline
+
+    worker = worker_cls(config)
+    ds = parse_pipeline(corpus)
+
+    if hasattr(worker, "accept"):
+        fmts = sorted(r["format"] for r in
+                      ds.groupby("format").count().take_all())
+        keep = {f for f in fmts if worker.accept(f)}
+        if keep != set(fmts):
+            keep_arr = pa.array(sorted(keep), pa.string())
+
+            def _gate(t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t["format"], value_set=keep_arr))
+
+            ds = ds.map_batches(_gate, batch_format="pyarrow")
+
+    result = worker.apply(ds)
+
+    if hasattr(worker, "combine"):
+        def _combine(df):
+            return worker.combine(df["format"].iloc[0], df)
+        result = result.groupby("format").map_groups(
+            _combine, batch_format="pandas")
+
+    part = ["format"] if "format" in result.schema().names else None
+    os.makedirs(out, exist_ok=True)
+    if part:
+        result.write_parquet(out, partition_cols=part)
+    else:
+        result.write_parquet(out)
+    # count from the written footers — metadata-only, never re-reads data
+    import ray.data
+    n = ray.data.read_parquet(out).count()
+    return {"rows": int(n)}

@@ -1,0 +1,108 @@
+"""Dynamic worker extension surface (SURVEY §2.11): `run --worker` loads
+foreign worker code by path, merges its CLI options (two-phase reparse,
+reference process:65-101), accept-gates formats, and drives apply/combine
+over the parsed corpus."""
+
+import json
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+TOY_WORKER = '''
+class Worker:
+    """Counts battles per (format, day), keeping only formats that match a
+    prefix option; combine tags each format's rows with its row rank."""
+
+    options = {
+        "prefix": {"desc": "format prefix gate", "alias": ["p"],
+                   "parse": str, "default": ""},
+        "min-turns": {"desc": "minimum turns", "alias": ["m"],
+                      "parse": int, "default": 0},
+    }
+
+    def __init__(self, config):
+        self.prefix = config["prefix"]
+        self.min_turns = config["min-turns"]
+
+    def accept(self, fmt):
+        return fmt.startswith(self.prefix)
+
+    def apply(self, ds):
+        mt = self.min_turns
+        if mt:
+            ds = ds.filter(lambda r: r["turns"] >= mt)
+        return ds.groupby(["format", "source"]).count()
+
+    def combine(self, fmt, df):
+        out = df.sort_values("source").reset_index(drop=True)
+        out["rank"] = range(1, len(out) + 1)
+        return out
+'''
+
+
+@pytest.fixture(scope="module")
+def toy_worker(tmp_path_factory):
+    p = tmp_path_factory.mktemp("workers") / "toy_worker.py"
+    p.write_text(TOY_WORKER)
+    return str(p)
+
+
+def _run_cli(args, timeout=300):
+    r = subprocess.run([sys.executable, "-m", "stats_ray.cli", *args],
+                       capture_output=True, text=True, timeout=timeout,
+                       cwd="/root/repo")
+    return r
+
+
+def test_load_worker_variants(toy_worker):
+    from stats_ray.workers import BUILTIN_WORKERS, load_worker, \
+        worker_options
+
+    cls = load_worker(toy_worker + ":Worker")
+    assert set(worker_options(cls)) == {"prefix", "min-turns"}
+    # Class name defaults to Worker
+    assert load_worker(toy_worker).__name__ == "Worker"
+    # registry name and module:Class both resolve
+    assert load_worker("stats/usage").__name__ == "UsageWorker"
+    assert load_worker("stats_ray.workers:UsageWorker").__name__ == \
+        "UsageWorker"
+    assert "stats/usage" in BUILTIN_WORKERS
+    with pytest.raises((FileNotFoundError, ImportError)):
+        load_worker("/nope/missing.py:Worker")
+    with pytest.raises(AttributeError):
+        load_worker("stats_ray.workers:NoSuchClass")
+
+
+@pytest.mark.slow
+def test_cli_run_foreign_worker(small_corpus, toy_worker, tmp_path):
+    out = str(tmp_path / "toy")
+    r = _run_cli(["run", "--worker", toy_worker, "--corpus", small_corpus,
+                  "--out", out, "--prefix", "gen9", "-m", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    n = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
+    df = pd.read_parquet(out)
+    assert len(df) == n > 0
+    # accept() gate pruned to the prefixed formats only
+    assert all(str(f).startswith("gen9") for f in df["format"].unique())
+    # combine() ran per format: rank is a 1..n sequence per format
+    for _, g in df.groupby("format"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+    # strict second-phase parse: unknown worker option fails loudly
+    bad = _run_cli(["run", "--worker", toy_worker, "--corpus", small_corpus,
+                    "--out", out, "--bogus", "1"])
+    assert bad.returncode != 0
+    assert "bogus" in bad.stderr
+
+
+@pytest.mark.slow
+def test_cli_run_registry_worker(small_corpus, tmp_path):
+    out = str(tmp_path / "usage")
+    r = _run_cli(["run", "--worker", "stats/usage",
+                  "--corpus", small_corpus, "--out", out,
+                  "--cutoff", "0"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    df = pd.read_parquet(out)
+    assert set(df["cutoff"].unique()) == {0.0}
+    assert {"format", "cutoff", "species"}.issubset(df.columns)
