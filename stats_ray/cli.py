@@ -220,6 +220,24 @@ def cmd_quarantine(args):
     print(json.dumps({"good": int(good.count()), "errors": len(err)}))
 
 
+def cmd_cleanup(args):
+    """GC a checkpoint/manifest root: orphaned *.tmp-* scratch always;
+    manifest-unreferenced partitions with --unreferenced; --tombstone
+    reclaims named completed partitions' space, keeping resume markers
+    (logs/DESIGN.md:39-87). Pure filesystem — no Ray session."""
+    from .state.checkpoints import Manifest, cleanup_root
+    removed = cleanup_root(args.root,
+                           remove_unreferenced=args.unreferenced)
+    tombstoned = []
+    if args.tombstone:
+        m = Manifest(args.root, match_any_lineage=True)
+        for key in args.tombstone.split(","):
+            if m.tombstone(key):
+                tombstoned.append(key)
+    removed["tombstoned"] = tombstoned
+    print(json.dumps(removed))
+
+
 def cmd_run(argv):
     """`run` — the `process <worker>` analogue with dynamic worker loading
     (process:65-101): parse the base options first, load the worker (by
@@ -356,6 +374,17 @@ def main(argv=None):
     sp.add_argument("--capacity", type=int, default=512)
     sp.add_argument("--shards", type=int, default=16)
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser("cleanup")
+    sp.add_argument("--root", required=True,
+                    help="checkpoint/manifest root to GC")
+    sp.add_argument("--unreferenced", action="store_true",
+                    help="also remove partitions no manifest entry "
+                         "references")
+    sp.add_argument("--tombstone", default=None,
+                    help="comma-separated completed partition keys whose "
+                         "data to reclaim (resume markers kept)")
+    sp.set_defaults(fn=cmd_cleanup)
 
     sp = sub.add_parser("synth")
     sp.add_argument("--sf", default="0.001")

@@ -19,7 +19,8 @@ import uuid
 class Manifest:
     """JSON-lines manifest of completed partitions at <root>/manifest.jsonl."""
 
-    def __init__(self, root: str, lineage: dict | None = None):
+    def __init__(self, root: str, lineage: dict | None = None,
+                 match_any_lineage: bool = False):
         self.root = root
         self.path = os.path.join(root, "manifest.jsonl")
         self.lineage = lineage or {}
@@ -35,7 +36,7 @@ class Manifest:
                         e = json.loads(line)
                     except json.JSONDecodeError:
                         continue  # torn write of the final line
-                    if e.get("lineage") == self.lineage:
+                    if match_any_lineage or e.get("lineage") == self.lineage:
                         self._done[e["key"]] = e
 
     def done(self, key: str) -> bool:
@@ -86,3 +87,65 @@ class Manifest:
         metrics["wall_sec"] = round(time.time() - t0, 3)
         self.mark(key, **metrics)
         return self._done[key]
+
+    def tombstone(self, key: str) -> bool:
+        """Reclaim a completed partition's space, keeping its manifest
+        entry (logs/DESIGN.md tombstone semantics: once a shard's combine
+        has consumed it, the checkpoint files may be deleted and replaced
+        with a placeholder). done(key) stays True, so resume still skips
+        the work; the placeholder records when the data was reclaimed."""
+        if not self.done(key):
+            return False
+        final = self.partition_dir(key)
+        shutil.rmtree(final, ignore_errors=True)
+        with open(f"{final}.tombstone", "w") as f:
+            json.dump({"key": key, "ts": time.time()}, f)
+        return True
+
+
+def cleanup_root(root: str, *, remove_unreferenced: bool = False) -> dict:
+    """GC a manifest root (the `--cleanup` analogue, logs/DESIGN.md:39-87).
+
+    Always removes orphaned ``*.tmp-*`` scratch dirs — Manifest.run cleans
+    its scratch on failure and renames atomically, but a SIGKILLed run
+    leaves orphans behind. With ``remove_unreferenced``, also removes
+    partition dirs no manifest entry of ANY lineage references (stale
+    output from a since-changed config). Returns what was removed."""
+    keys: set[str] = set()
+    mp = os.path.join(root, "manifest.jsonl")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    keys.add(json.loads(line)["key"])
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    removed = {"tmp": [], "unreferenced": []}
+    if not os.path.isdir(root):
+        return removed
+    # Keys may be nested paths ("gen9ou/day=01"): a directory is partition
+    # CONTENT if its root-relative path sits under some key, a partition if
+    # it equals a key, and a parent of partitions if some key sits under
+    # it. Only dirs in none of those relations are stale.
+    for dirpath, dirnames, _files in os.walk(root, topdown=True):
+        for d in sorted(dirnames):
+            full = os.path.join(dirpath, d)
+            rel = os.path.relpath(full, root)
+            if ".tmp-" in d:
+                shutil.rmtree(full, ignore_errors=True)
+                removed["tmp"].append(rel)
+                dirnames.remove(d)
+            elif rel in keys:
+                dirnames.remove(d)  # referenced partition: don't descend
+            elif any(k.startswith(rel + os.sep) for k in keys):
+                continue  # parent of referenced partitions: descend
+            elif remove_unreferenced:
+                shutil.rmtree(full, ignore_errors=True)
+                removed["unreferenced"].append(rel)
+                dirnames.remove(d)
+            else:
+                dirnames.remove(d)  # unknown dir, not asked to remove
+    return removed

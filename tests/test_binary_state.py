@@ -185,3 +185,64 @@ def test_db_sizes_and_display(parsed, tmp_path):
             assert len(e["moves"]) <= 5 and len(e["items"]) <= 3
             for v in list(e["moves"].values()) + list(e["items"].values()):
                 assert 0 <= v <= 400 + 1e-9        # 4 move slots x 100%
+
+
+def test_manifest_cleanup_and_tombstone(tmp_path):
+    """--cleanup analogue (logs/DESIGN.md:39-87): orphaned *.tmp-* scratch
+    is always GC'd, manifest-unreferenced partitions only on request, and
+    tombstoning reclaims a completed partition's space while keeping its
+    resume marker."""
+    from stats_ray.state.checkpoints import Manifest, cleanup_root
+    root = str(tmp_path / "gc")
+    m = Manifest(root, lineage={"v": 1})
+
+    def work(out_dir):
+        with open(os.path.join(out_dir, "part.json"), "w") as f:
+            json.dump({"rows": 1}, f)
+        return {"rows": 1}
+
+    m.run("gen9ou/day=01", work)
+    m.run("flat", work)
+    # plant a SIGKILL-style orphan next to a nested partition, plus a
+    # stale dir no manifest entry references
+    os.makedirs(os.path.join(root, "gen9ou", "day=02.tmp-deadbeef"))
+    os.makedirs(os.path.join(root, "stale", "old"))
+
+    removed = cleanup_root(root)
+    assert removed["tmp"] == ["gen9ou/day=02.tmp-deadbeef"]
+    assert removed["unreferenced"] == []  # not asked to
+    assert os.path.isdir(os.path.join(root, "stale"))
+
+    removed = cleanup_root(root, remove_unreferenced=True)
+    assert removed["unreferenced"] == ["stale"]
+    # referenced partitions (nested and flat) survive both passes
+    assert os.path.exists(os.path.join(root, "gen9ou", "day=01",
+                                       "part.json"))
+    assert os.path.exists(os.path.join(root, "flat", "part.json"))
+
+    # tombstone: data reclaimed, resume marker kept
+    assert m.tombstone("flat")
+    assert not os.path.isdir(os.path.join(root, "flat"))
+    assert os.path.exists(os.path.join(root, "flat.tombstone"))
+    calls = []
+    m2 = Manifest(root, lineage={"v": 1})
+    m2.run("flat", lambda d: calls.append(d))
+    assert calls == []  # still done
+    assert not m.tombstone("never-ran")
+
+
+def test_cli_cleanup(tmp_path, capsys):
+    from stats_ray.cli import main
+    from stats_ray.state.checkpoints import Manifest
+    root = str(tmp_path / "gcc")
+    m = Manifest(root, lineage={"v": 1})
+    m.run("a", lambda d: {"rows": 0})
+    m.run("b", lambda d: {"rows": 0})
+    os.makedirs(os.path.join(root, "a.tmp-12345678"))
+    os.makedirs(os.path.join(root, "junk"))
+    main(["cleanup", "--root", root, "--unreferenced", "--tombstone", "b"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"tmp": ["a.tmp-12345678"], "unreferenced": ["junk"],
+                   "tombstoned": ["b"]}
+    assert os.path.isdir(os.path.join(root, "a"))
+    assert os.path.exists(os.path.join(root, "b.tombstone"))
