@@ -280,13 +280,12 @@ def _q_top_teams(sf_dir: str):
         flat = s.flatten()
         side = flat.field("side").to_numpy()
         fmt = t["format"].to_numpy(zero_copy_only=False)
-        species = flat.field("species").to_numpy(zero_copy_only=False)
-        item = flat.field("item").to_numpy(zero_copy_only=False)
-        mv = [flat.field(f"move{k}").to_numpy(zero_copy_only=False)
-              for k in (1, 2, 3, 4)]
-        part = np.array([f"{sp}|{it}|{a},{b},{c},{d}" for sp, it, a, b, c, d
-                         in zip(species, item, *mv)], dtype=object)
-        df = pd.DataFrame({"b": par, "side": side, "part": part})
+        moves = pc.binary_join_element_wise(
+            *(flat.field(f"move{k}") for k in (1, 2, 3, 4)), ",")
+        part = pc.binary_join_element_wise(
+            flat.field("species"), flat.field("item"), moves, "|")
+        df = pd.DataFrame({"b": par, "side": side,
+                           "part": part.to_numpy(zero_copy_only=False)})
         keys = (df.groupby(["b", "side"], sort=False)["part"]
                 .agg("]".join).reset_index())
         r = np.zeros((len(t), 2))

@@ -154,13 +154,16 @@ def anonymize_doc(doc: dict, salt: str | None = None,
 
 def sample_mask(doc_ids: list[str], rate: float, salt: str = "anon") -> list[bool]:
     """F2: deterministic hash-based Bernoulli sample (reproducible, unlike
-    the reference's PRNG-order-dependent sampling, anon.ts:82-92)."""
-    out = []
-    for d in doc_ids:
-        h = int.from_bytes(hashlib.md5(f"{salt}:{d}".encode()).digest()[:8],
-                           "little")
-        out.append((h % 10_000) < rate * 10_000)
-    return out
+    the reference's PRNG-order-dependent sampling, anon.ts:82-92).
+    Vectorized: one keyed-siphash pass over the salted ids (the same
+    process-stable hash family the exchange partitions by), replacing the
+    former per-doc Python md5 loop."""
+    import numpy as np
+    import pandas as pd
+
+    arr = pd.util.hash_array(
+        np.asarray([f"{salt}:{d}" for d in doc_ids], dtype=object))
+    return ((arr % 10_000) < rate * 10_000).tolist()
 
 
 class AnonymizeBattles:
