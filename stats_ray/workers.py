@@ -103,14 +103,31 @@ def run_worker(worker_cls, corpus: str, out: str,
 
     The accept gate prunes with a vectorized per-batch mask over the small
     set of distinct formats (computed once on the driver — format
-    cardinality is tiny); combine runs distributed via map_groups."""
+    cardinality is tiny); combine runs distributed via map_groups.
+
+    A worker may set ``input = "raw"`` to receive the tokens-contract
+    dataset (doc_id/tokens/n_tok/source) instead of parsed battles — the
+    reference's workers likewise consume raw logs (worker.ts:50-53); the
+    default is the parsed schema, which is what aggregate-style workers
+    want. Raw mode gates ``accept`` on the format segment of ``source``."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .pipelines.usage import parse_pipeline
+    from .pipelines.usage import parse_pipeline, read_battles
 
     worker = worker_cls(config)
-    ds = parse_pipeline(corpus)
+    raw = getattr(worker, "input", "parsed") == "raw"
+    if raw:
+        ds = read_battles(corpus)
+        # derive the format column workers gate/group on from source
+        # ("format/day") — split once per batch, zero-copy otherwise
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "format",
+                pc.list_element(pc.split_pattern(t["source"], "/"), 0)),
+            batch_format="pyarrow")
+    else:
+        ds = parse_pipeline(corpus)
 
     if hasattr(worker, "accept"):
         fmts = sorted(r["format"] for r in

@@ -106,3 +106,38 @@ def test_cli_run_registry_worker(small_corpus, tmp_path):
     df = pd.read_parquet(out)
     assert set(df["cutoff"].unique()) == {0.0}
     assert {"format", "cutoff", "species"}.issubset(df.columns)
+
+
+RAW_WORKER = '''
+class Worker:
+    """Raw-input worker (input="raw", worker.ts:50-53 analogue): token
+    volume per format straight off the tokens contract, no parse."""
+
+    input = "raw"
+    options = {}
+
+    def __init__(self, config):
+        pass
+
+    def apply(self, ds):
+        return ds.groupby("format").sum("n_tok")
+'''
+
+
+def test_run_worker_raw_input(ray_session, small_corpus, tmp_path):
+    import ray.data
+
+    from stats_ray.workers import load_worker, run_worker
+
+    p = tmp_path / "raw_worker.py"
+    p.write_text(RAW_WORKER)
+    out = str(tmp_path / "rawout")
+    res = run_worker(load_worker(str(p)), small_corpus, out, {})
+    df = pd.read_parquet(out)
+    assert res["rows"] == len(df) > 0
+    # matches the corpus's own per-format token totals exactly
+    battles = ray.data.read_parquet(f"{small_corpus}/battles").to_pandas()
+    battles["format"] = battles["source"].str.split("/").str[0]
+    want = battles.groupby("format")["n_tok"].sum()
+    got = df.set_index("format")["sum(n_tok)"].sort_index()
+    assert (got == want.sort_index()).all()
