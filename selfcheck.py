@@ -65,8 +65,13 @@ def main(argv=None) -> int:
     import __ray_entry__ as E
 
     qs = E.queries()
-    oracles = E.oracle_sql() if args.sf_dir.rstrip("/").endswith("sf0.01") \
-        else E.oracle_sql_for(args.sf_dir)
+    if args.sf_dir.rstrip("/").endswith("sf0.01"):
+        oracles = E.oracle_sql()
+    else:
+        # battle oracles read ground truth from the SYNTH corpus for this
+        # scale factor (materialized on demand), not from sf_dir itself
+        from stats_ray import synth
+        oracles = E.oracle_sql_for(synth.ensure_corpus(args.sf_dir))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "

@@ -32,6 +32,15 @@ from ..tokens import canonical_json, encode_strings
 
 _LOG_SUFFIXES = (".log.json", ".log.json.gz")
 
+_NUM_RE = __import__("re").compile(r"(\d+)")
+
+
+def _numeric_key(name: str):
+    """Numeric-collation sort key (O8): the reference lists with
+    Intl.Collator(numeric) so battle-x-2 precedes battle-x-10
+    (logs/src/storage.ts CMP)."""
+    return [int(p) if p.isdigit() else p for p in _NUM_RE.split(name)]
+
 
 def _strip_suffix(name: str) -> str:
     return name[:-len(".log.json.gz")] if name.endswith(".gz") \
@@ -61,7 +70,8 @@ def list_log_tree(root: str, *, begin: str | None = None,
                 continue
             day_dir = os.path.join(fmt_dir, day)
             paths.extend(os.path.join(day_dir, name)
-                         for name in sorted(os.listdir(day_dir))
+                         for name in sorted(os.listdir(day_dir),
+                                            key=_numeric_key)
                          if name.endswith(_LOG_SUFFIXES))
     return paths
 

@@ -79,3 +79,23 @@ def test_parse_pipeline_consumes_raw_logs(ray_session, small_corpus,
     b = (pl.parse_pipeline(small_corpus).to_pandas()
          .groupby("format").size().sort_index())
     pd.testing.assert_series_equal(a, b)
+
+
+def test_list_log_tree_numeric_collation(tmp_path):
+    """O8: file listing uses numeric collation (storage.ts CMP) — the
+    battle number sorts as an integer, not a string."""
+    import gzip
+    import os
+
+    from stats_ray.sources.logs import list_log_tree
+
+    d = tmp_path / "gen9ou" / "2026-07-01"
+    os.makedirs(d)
+    for n in (10, 2, 1):
+        (d / f"battle-gen9ou-{n}.log.json").write_text("{}")
+    with open(d / "battle-gen9ou-3.log.json.gz", "wb") as f:
+        f.write(gzip.compress(b"{}"))
+    names = [os.path.basename(p) for p in list_log_tree(str(tmp_path))]
+    assert names == ["battle-gen9ou-1.log.json", "battle-gen9ou-2.log.json",
+                     "battle-gen9ou-3.log.json.gz",
+                     "battle-gen9ou-10.log.json"]
