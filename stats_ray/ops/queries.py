@@ -36,14 +36,24 @@ def _q_tpch_q1(sf_dir: str):
     return _r4(df, ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"])
 
 
+# Fixed-point accumulation mirrors the Ray side exactly (see
+# relational.tpch_q1): integer unit sums are order-independent, so the
+# comparison stays bit-exact at any scale factor / parallelism.
 _SQL_TPCH_Q1 = """
+WITH u AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_u,
+         100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax_u
+  FROM lineitem)
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 4) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(SUM(qty) / 1.0, 4) AS sum_qty,
+       ROUND(SUM(cents) / 100.0, 4) AS sum_base_price,
+       ROUND(SUM(cents * disc_u) / 10000.0, 4) AS sum_disc_price,
+       ROUND(SUM(cents * disc_u * tax_u) / 1000000.0, 4) AS sum_charge,
        COUNT(*) AS count_order
-FROM lineitem GROUP BY 1, 2
+FROM u GROUP BY 1, 2
 """
 
 

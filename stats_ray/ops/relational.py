@@ -20,21 +20,34 @@ from .io import read_table as _t  # noqa: E402  (shared metadata-stripping read)
 
 def tpch_q1(sf_dir: str) -> Dataset:
     """Pricing summary: grouped sums over computed revenue columns, with the
-    partial-aggregate-then-shuffle shape (combiner inside map_batches)."""
+    partial-aggregate-then-shuffle shape (combiner inside map_batches).
+
+    Money columns are exact 2dp decimals, so the sums accumulate in
+    fixed-point int64 units (cents for base price, 1e-4 dollars for the
+    discounted price, 1e-6 for the charge) — TPC-H's own DECIMAL(15,2)
+    semantics, and bitwise order/partitioning-independent at any scale.
+    Float sums diverge from the oracle's summation order once group sums
+    pass ~1e9 (caught by the sf0.1 cross-check). int64 headroom: charge
+    units overflow only past ~7e12 dollars of charge per group."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
                                  "l_extendedprice", "l_discount", "l_tax"])
 
     def partial(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        i64 = pa.int64()
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), i64)
+        disc_u = pc.subtract(pa.scalar(100, i64), pc.cast(pc.round(
+            pc.multiply(t["l_discount"], pa.scalar(100.0))), i64))
+        tax_u = pc.add(pa.scalar(100, i64), pc.cast(pc.round(
+            pc.multiply(t["l_tax"], pa.scalar(100.0))), i64))
+        disc_price = pc.multiply(cents, disc_u)
         df = pd.DataFrame({
             "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
             "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
-            "sum_qty": t["l_quantity"].to_numpy(),
-            "sum_base_price": t["l_extendedprice"].to_numpy(),
+            "sum_qty": pc.cast(pc.round(t["l_quantity"]), i64).to_numpy(),
+            "sum_base_price": cents.to_numpy(),
             "sum_disc_price": disc_price.to_numpy(),
-            "sum_charge": charge.to_numpy(),
+            "sum_charge": pc.multiply(disc_price, tax_u).to_numpy(),
             "count_order": 1,
         })
         return pa.Table.from_pandas(
@@ -42,13 +55,29 @@ def tpch_q1(sf_dir: str) -> Dataset:
                        sort=False).sum(),
             preserve_index=False).replace_schema_metadata(None)
 
+    def finish(t: pa.Table) -> pa.Table:
+        f64 = pa.float64()
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(t["sum_qty"], f64),
+            "sum_base_price": pc.divide(pc.cast(t["sum_base_price"], f64),
+                                        pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(pc.cast(t["sum_disc_price"], f64),
+                                        pa.scalar(10_000.0)),
+            "sum_charge": pc.divide(pc.cast(t["sum_charge"], f64),
+                                    pa.scalar(1_000_000.0)),
+            "count_order": t["count_order"],
+        })
+
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["l_returnflag", "l_linestatus"])
             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
                        Sum("sum_base_price", alias_name="sum_base_price"),
                        Sum("sum_disc_price", alias_name="sum_disc_price"),
                        Sum("sum_charge", alias_name="sum_charge"),
-                       Sum("count_order", alias_name="count_order")))
+                       Sum("count_order", alias_name="count_order"))
+            .map_batches(finish, batch_format="pyarrow"))
 
 
 def top_orders(sf_dir: str, n: int = 10) -> Dataset:

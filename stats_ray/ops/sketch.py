@@ -281,6 +281,12 @@ def heavy_hitters(ds: Dataset, key_col: str, phi: float = 0.0075,
         raise ValueError(f"k={k} too small for phi={phi}: need k+1 > 1/phi")
     merged = parts.groupby(key_col)["c"].sum()
     cand = set(merged[merged >= thresh - total / (k + 1)].index)
+    if not cand:
+        # provably no heavy hitters (any true HH would have merged count
+        # >= thresh - N/(k+1)); an all-empty recount would drop the schema
+        return pd.DataFrame({
+            key_col: pd.Series([], dtype=parts[key_col].dtype),
+            "n": pd.Series([], dtype="int64")})
     cand_ref = ray.put(cand)
 
     class Recount:
