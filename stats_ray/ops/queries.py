@@ -77,7 +77,8 @@ def _q_orders_by_nation(sf_dir: str):
 
 _SQL_ORDERS_BY_NATION = """
 SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o.o_totalprice), 4) AS total_price
+       ROUND(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4)
+         AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
@@ -92,7 +93,9 @@ def _q_order_lineitem_revenue(sf_dir: str):
 
 _SQL_ORDER_LINEITEM_REVENUE = """
 SELECT o.o_orderpriority, l.l_returnflag,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+             / 10000.0, 4) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2 ORDER BY 1, 2

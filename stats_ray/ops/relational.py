@@ -102,16 +102,26 @@ def orders_by_nation(sf_dir: str) -> Dataset:
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df["n_name"] = df["o_custkey"].map(self.lookup)
+            # 2dp money summed as exact int64 cents: order-independent at
+            # any scale (float sums drift past the oracle's 4dp tolerance
+            # once group totals reach ~1e9 — see tpch_q1)
+            df["cents"] = np.round(df["o_totalprice"] * 100.0).astype(
+                np.int64)
             out = (df.groupby("n_name", as_index=False)
                    .agg(n_orders=("o_orderkey", "size"),
-                        total_price=("o_totalprice", "sum")))
+                        total_cents=("cents", "sum")))
             return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_price"] = df["total_cents"].astype(np.float64) / 100.0
+        return df.drop(columns=["total_cents"])
 
     return (_t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
             .map_batches(Enrich, batch_format="pandas", concurrency=(1, 4))
             .groupby("n_name")
             .aggregate(Sum("n_orders", alias_name="n_orders"),
-                       Sum("total_price", alias_name="total_price")))
+                       Sum("total_cents", alias_name="total_cents"))
+            .map_batches(finish, batch_format="pandas"))
 
 
 def events_daily(sf_dir: str) -> Dataset:
@@ -528,28 +538,30 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]),
-            n_items=1)
+        # exact 1e-4-dollar units (cents x (100 - disc%)): int64 sums are
+        # order/partitioning-independent at any scale — see tpch_q1
+        cents = np.round(df["l_extendedprice"] * 100.0).astype(np.int64)
+        disc_u = 100 - np.round(df["l_discount"] * 100.0).astype(np.int64)
+        df = df.assign(revenue_u=cents * disc_u, n_items=1)
         return (df.groupby(["l_orderkey", "l_returnflag"], as_index=False)
-                [["revenue", "n_items"]].sum())
+                [["revenue_u", "n_items"]].sum())
 
     lpart = line.map_batches(partial, batch_format="pandas").map_batches(
         lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
         batch_format="pandas")
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(lpart, orders, on="o_orderkey",
-                       left_cols=["l_returnflag", "revenue", "n_items"],
+                       left_cols=["l_returnflag", "revenue_u", "n_items"],
                        right_cols=["o_orderpriority"], how="inner")
-    # bucketed_agg, not native Sum: the float revenue rollup gets the
-    # canonical row-hash presort, so the sum is order-deterministic
     out = bucketed_agg(joined, ["o_orderpriority", "l_returnflag"],
-                       {"revenue": ("revenue", "sum"),
+                       {"revenue_u": ("revenue_u", "sum"),
                         "n_items": ("n_items", "sum")},
                        nbuckets=8).to_pandas()
+    out["revenue"] = out["revenue_u"].astype("float64") / 10_000.0
+    out = out.drop(columns=["revenue_u"])
     out["n_items"] = out["n_items"].astype("int64")
-    return out.sort_values(["o_orderpriority", "l_returnflag"],
-                           ignore_index=True)
+    return out[["o_orderpriority", "l_returnflag", "revenue", "n_items"]] \
+        .sort_values(["o_orderpriority", "l_returnflag"], ignore_index=True)
 
 
 def customer_order_counts(sf_dir: str) -> pd.DataFrame:
