@@ -211,7 +211,8 @@ def _q_orders_building_segment(sf_dir: str):
 
 _SQL_ORDERS_BUILDING_SEGMENT = """
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o.o_totalprice), 4) AS total_price
+       ROUND(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4)
+         AS total_price
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM customer c
               WHERE c.c_custkey = o.o_custkey
@@ -471,7 +472,8 @@ WITH bands(lo, hi, band) AS (VALUES
   (0, 10, '[0,10)'), (10, 20, '[10,20)'), (20, 30, '[20,30)'),
   (30, 40, '[30,40)'), (40, 60, '[40,60)'))
 SELECT b.band, l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(l.l_extendedprice), 4) AS sum_price
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+             / 100.0, 4) AS sum_price
 FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
 GROUP BY 1, 2
 """

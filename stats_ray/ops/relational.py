@@ -218,14 +218,21 @@ def range_join_bands(sf_dir: str) -> Dataset:
             "band": labels[idx],
             "l_returnflag": df["l_returnflag"],
             "n": np.int64(1),
-            "sum_price": df["l_extendedprice"],
+            # exact int64 cents — scale-stable money sums (see tpch_q1)
+            "price_c": np.round(df["l_extendedprice"].to_numpy()
+                                * 100.0).astype(np.int64),
         })
         return out.groupby(["band", "l_returnflag"], as_index=False).sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["price_c"].astype(np.float64) / 100.0
+        return df.drop(columns=["price_c"])
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(["band", "l_returnflag"])
             .aggregate(Sum("n", alias_name="n"),
-                       Sum("sum_price", alias_name="sum_price")))
+                       Sum("price_c", alias_name="price_c"))
+            .map_batches(finish, batch_format="pandas"))
 
 
 def price_percentiles(sf_dir: str) -> pd.DataFrame:
@@ -680,16 +687,20 @@ def orders_building_segment(sf_dir: str, segment: str = "BUILDING"
                              expected_keys=n_cust)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(n_orders=1)
+        # exact int64 cents — scale-stable money sums (see tpch_q1)
+        df = df.assign(n_orders=1, cents=np.round(
+            df["o_totalprice"] * 100.0).astype(np.int64))
         return (df.groupby("o_orderpriority", as_index=False)
                 .agg(n_orders=("n_orders", "sum"),
-                     total_price=("o_totalprice", "sum")))
+                     cents=("cents", "sum")))
 
     out = bucketed_agg(joined.map_batches(partial, batch_format="pandas"),
                        ["o_orderpriority"],
                        {"n_orders": ("n_orders", "sum"),
-                        "total_price": ("total_price", "sum")},
+                        "cents": ("cents", "sum")},
                        nbuckets=8).to_pandas()
+    out["total_price"] = out["cents"].astype("float64") / 100.0
+    out = out.drop(columns=["cents"])
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority", ignore_index=True)
 
