@@ -43,6 +43,19 @@ def _round_cols(df: pd.DataFrame, cols, p: int = 4) -> pd.DataFrame:
     return df
 
 
+def _pd(ds) -> pd.DataFrame:
+    """to_pandas with a typed-empty fallback: a fully-empty Dataset drops
+    its schema in to_pandas(), which breaks downstream column access in the
+    zero-row case (seen at tiny scale factors where every checks&counters
+    pair fails the n > 20 gate)."""
+    df = ds.to_pandas()
+    if not len(df.columns):
+        base = getattr(ds.schema(), "base_schema", None)
+        if base is not None:
+            df = base.empty_table().to_pandas()
+    return df
+
+
 _PARSED_CACHE: dict[str, Any] = {}
 
 
@@ -176,31 +189,31 @@ def _q_slots(sf_dir: str):
 
 def _q_usage(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    df = agg.usage_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.usage_stats(_parsed(sf_dir)))
     return _round_cols(df, ["raw_weight", "saved_weight", "usage_weighted",
                             "win_weighted"])
 
 
 def _q_movesets(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    df = agg.moveset_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.moveset_stats(_parsed(sf_dir)))
     return _round_cols(df, ["weight"])
 
 
 def _q_leads(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    df = agg.lead_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.lead_stats(_parsed(sf_dir)))
     return _round_cols(df, ["lead_weighted"])
 
 
 def _q_battles(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    return agg.battle_counts(_parsed(sf_dir)).to_pandas()
+    return _pd(agg.battle_counts(_parsed(sf_dir)))
 
 
 def _q_encounters(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    df = agg.encounter_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.encounter_stats(_parsed(sf_dir)))
     df["outcome"] = df["outcome"].astype("int32")
     return _round_cols(df, ["weight"])
 
@@ -208,25 +221,25 @@ def _q_encounters(sf_dir: str):
 def _q_checks_counters(sf_dir: str):
     """A11 checks & counters from the encounter matrix (util.ts:332-357)."""
     from stats_ray.stages import aggregate as agg
-    df = agg.checks_counters_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.checks_counters_stats(_parsed(sf_dir)))
     return _round_cols(df, ["n", "p", "d", "score"])
 
 
 def _q_teammates(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    df = agg.teammate_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.teammate_stats(_parsed(sf_dir)))
     return _round_cols(df, ["weight"])
 
 
 def _q_metagame(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    df = agg.metagame_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.metagame_stats(_parsed(sf_dir)))
     return _round_cols(df, ["weight"])
 
 
 def _q_unique(sf_dir: str):
     from stats_ray.stages import aggregate as agg
-    df = agg.unique_player_rollup(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.unique_player_rollup(_parsed(sf_dir)))
     df["n_players"] = df["n_players"].astype("int64")
     df["real_players"] = df["real_players"].astype("int64")
     return _round_cols(df, ["sum_max_weight"])
@@ -317,7 +330,7 @@ def _q_top_teams(sf_dir: str):
 def _q_stalliness(sf_dir: str):
     """A12 input: stalliness sample mass grouped by (rounded) value."""
     from stats_ray.stages import aggregate as agg
-    df = agg.stalliness_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.stalliness_stats(_parsed(sf_dir)))
     df["value"] = _half_up(df["value"].to_numpy(), 6)
     out = (df.groupby(["format", "cutoff", "value"], as_index=False)
            .agg(count=("count", "sum"), weight=("weight", "sum")))
@@ -328,7 +341,7 @@ def _q_stalliness(sf_dir: str):
 def _q_viability(sf_dir: str):
     """A10: per-species GXE order statistics from the per-player dedup."""
     from stats_ray.stages import aggregate as agg
-    df = agg.viability_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.viability_stats(_parsed(sf_dir)))
     df = df[df["v_n"] > 0].reset_index(drop=True)
     df["v_n"] = df["v_n"].astype("int64")
     return df
@@ -337,7 +350,7 @@ def _q_viability(sf_dir: str):
 def _q_mono_usage(sf_dir: str):
     """F1 monotype shard fan-out: usage per (shard tag, cutoff, species)."""
     from stats_ray.stages import aggregate as agg
-    df = agg.mono_usage_stats(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.mono_usage_stats(_parsed(sf_dir)))
     df["usage_raw"] = df["usage_raw"].astype("int64")
     return _round_cols(df, ["usage_weighted"])
 
@@ -345,7 +358,7 @@ def _q_mono_usage(sf_dir: str):
 def _q_rating_percentile(sf_dir: str):
     """A15: per-format 90th-percentile rating (tools/stats cutoff)."""
     from stats_ray.stages import aggregate as agg
-    df = agg.rating_percentile(_parsed(sf_dir)).to_pandas()
+    df = _pd(agg.rating_percentile(_parsed(sf_dir)))
     df["n_ratings"] = df["n_ratings"].astype("int64")
     return df
 
