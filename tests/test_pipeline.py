@@ -180,3 +180,25 @@ def test_flagship_sharded_parse_resume(ray_session, small_corpus, tmp_path):
     manifest2 = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
     redone = [e["key"] for e in manifest2 if e["key"] in lost]
     assert sorted(redone) == sorted(lost)
+
+
+def test_aggregates_on_empty_parsed(ray_session, parsed):
+    """Production empty-partition scenario (e.g. an empty day/format
+    selection): every aggregate family must yield a typed 0-row result,
+    not crash — a fully-empty Dataset drops its schema in to_pandas, so
+    consumers go through the typed-empty _pd fallback."""
+    from stats_ray.stages import aggregate as agg
+
+    empty = parsed.filter(
+        lambda r: r["format"] == "no-such-format").materialize()
+    assert empty.count() == 0
+    fams = [agg.usage_stats, agg.lead_stats, agg.battle_counts,
+            agg.metagame_stats, agg.encounter_stats,
+            agg.checks_counters_stats, agg.teammate_stats,
+            agg.stalliness_stats, agg.mono_usage_stats,
+            agg.rating_percentile]
+    for fn in fams:
+        assert fn(empty).count() == 0
+    uniq, viab = agg.unique_and_viability(empty)
+    assert uniq.count() == 0 and viab.count() == 0
+    assert agg.fused_highcard(empty).materialize().count() == 0
