@@ -154,11 +154,20 @@ def run_bench() -> dict:
             "battles": lambda: {"battles": agg.battle_counts(routed).count()},
             "metagame": lambda: {"metagame": agg.metagame_stats(routed).count()},
         }
+
+        def timed(fn):
+            # each concurrent job times ITSELF from the phase start, so
+            # the per-family numbers are that family's completion offset,
+            # not the time the driver happened to observe it done
+            def run():
+                fn()
+                return round(time.time() - t0, 3)
+            return run
+
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            futs = {n: ex.submit(fn) for n, fn in jobs.items()}
+            futs = {n: ex.submit(timed(fn)) for n, fn in jobs.items()}
             for n, fu in futs.items():
-                fu.result()
-                queries[n] = round(time.time() - t0, 3)
+                queries[n] = fu.result()
         return round(time.time() - t_all, 3), queries
 
     # best of 3 passes: this sandbox shares its host, and scheduler /
