@@ -35,10 +35,12 @@ import importlib.util
 import os
 from typing import Any
 
-# Built-in registry — the `workflows/` analogue (process:29-42). Names map
+# Built-in registry — the `workflows/` analogue (process:29-42; the
+# reference ships exactly the stats and anon workflow workers). Names map
 # to "module:Class" specs resolved through the same loader as foreign code.
 BUILTIN_WORKERS: dict[str, str] = {
     "stats/usage": "stats_ray.workers:UsageWorker",
+    "anon/anonymize": "stats_ray.workers:AnonWorker",
 }
 
 
@@ -60,6 +62,32 @@ class UsageWorker:
             cutoff = self.cutoff
             out = out.filter(lambda r: r["cutoff"] == cutoff)
         return out
+
+
+class AnonWorker:
+    """Registry example over RAW logs: the anonymizer workflow (M8-M10)
+    as a worker — deterministic rate sampling + full protocol anonymize,
+    consuming the tokens contract directly like the reference's anon
+    workflow consumes raw logs."""
+
+    input = "raw"
+    options = {
+        "salt": {"desc": "hash salt for name anonymization", "parse": str,
+                 "default": None},
+        "rate": {"desc": "deterministic sample rate (0..1]", "alias": ["r"],
+                 "parse": float, "default": 1.0},
+    }
+
+    def __init__(self, config: dict):
+        self.salt = config.get("salt")
+        self.rate = config.get("rate", 1.0)
+
+    def apply(self, ds):
+        from .stages.anon import AnonymizeBattles
+        return ds.map_batches(
+            AnonymizeBattles,
+            fn_constructor_kwargs={"salt": self.salt, "rate": self.rate},
+            batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
 
 
 def load_worker(spec: str):

@@ -141,3 +141,21 @@ def test_run_worker_raw_input(ray_session, small_corpus, tmp_path):
     want = battles.groupby("format")["n_tok"].sum()
     got = df.set_index("format")["sum(n_tok)"].sort_index()
     assert (got == want.sort_index()).all()
+
+
+@pytest.mark.slow
+def test_cli_run_anon_worker(small_corpus, tmp_path):
+    # unsalted: synth nicknames equal species names, so pokemon.name ==
+    # name and nothing enters the verifier -> leaks must be 0. (With a
+    # salt the ORIGINAL nicknames are verifier names and species details
+    # legitimately remain in the log, so the reference-documented
+    # false-positive leaks appear — anon/src/index.ts:477-480.)
+    out = str(tmp_path / "anonw")
+    r = _run_cli(["run", "--worker", "anon/anonymize",
+                  "--corpus", small_corpus, "--out", out, "-r", "0.5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    n = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
+    df = pd.read_parquet(out)
+    assert len(df) == n
+    assert 0 < n < 400  # rate 0.5 sampled
+    assert (df["leaks"] == 0).all()
