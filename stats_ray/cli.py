@@ -58,13 +58,29 @@ def cmd_stats(args):
         # Raw-log tree ingest (S2): map YYYY-MM-DD/format trees into the
         # tokens-contract Parquet layout ONCE (under out/ingested), then
         # run the flagship with its full shard-granular resume on top.
+        # Idempotent: a completed ingest is marked and skipped on re-run
+        # (write_parquet APPENDS files, so a blind re-ingest would
+        # duplicate every battle); an interrupted one is rebuilt fresh.
+        import shutil
+
         from .sources.logs import read_logs_tree
         ingested = os.path.join(args.out, "ingested")
-        ds = read_logs_tree(args.corpus,
-                            begin=args.begin, end=args.end,
-                            formats=args.formats.split(",")
-                            if args.formats else None)
-        ds.write_parquet(os.path.join(ingested, "battles"))
+        marker = os.path.join(ingested, "_INGESTED.json")
+        spec = {"root": os.path.abspath(args.corpus), "begin": args.begin,
+                "end": args.end, "formats": args.formats}
+        done = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                done = json.load(f)
+        if done != spec:
+            shutil.rmtree(ingested, ignore_errors=True)
+            ds = read_logs_tree(args.corpus,
+                                begin=args.begin, end=args.end,
+                                formats=args.formats.split(",")
+                                if args.formats else None)
+            ds.write_parquet(os.path.join(ingested, "battles"))
+            with open(marker, "w") as f:
+                json.dump(spec, f)
         corpus = ingested
     counts = run_flagship(corpus, args.out,
                           families=args.families.split(",") if args.families

@@ -99,3 +99,32 @@ def test_list_log_tree_numeric_collation(tmp_path):
     assert names == ["battle-gen9ou-1.log.json", "battle-gen9ou-2.log.json",
                      "battle-gen9ou-3.log.json.gz",
                      "battle-gen9ou-10.log.json"]
+
+
+@pytest.mark.slow
+def test_cli_stats_from_logs_idempotent(log_tree, tmp_path):
+    """Re-running stats --from-logs must not duplicate ingested battles
+    (write_parquet appends files; the ingest is marker-gated)."""
+    import glob
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "flag")
+    cmd = [sys.executable, "-m", "stats_ray.cli", "stats",
+           "--corpus", log_tree, "--out", out, "--from-logs",
+           "--families", "battles"]
+    runs = []
+    for _ in range(2):
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        runs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    assert runs[0] == runs[1]
+    n_files = len(glob.glob(f"{out}/ingested/battles/**/*.parquet",
+                            recursive=True))
+    import pandas as pd
+    total = sum(len(pd.read_parquet(p)) for p in glob.glob(
+        f"{out}/ingested/battles/**/*.parquet", recursive=True))
+    assert total == 400  # the 400-battle corpus, exactly once
+    assert n_files > 0
