@@ -44,16 +44,13 @@ def _round_cols(df: pd.DataFrame, cols, p: int = 4) -> pd.DataFrame:
 
 
 def _pd(ds) -> pd.DataFrame:
-    """to_pandas with a typed-empty fallback: a fully-empty Dataset drops
-    its schema in to_pandas(), which breaks downstream column access in the
-    zero-row case (seen at tiny scale factors where every checks&counters
-    pair fails the n > 20 gate)."""
-    df = ds.to_pandas()
-    if not len(df.columns):
-        base = getattr(ds.schema(), "base_schema", None)
-        if base is not None:
-            df = base.empty_table().to_pandas()
-    return df
+    """to_pandas with a typed-empty fallback (shared impl in
+    stats_ray.schema): a fully-empty Dataset drops its schema in
+    to_pandas(), breaking downstream column access in the zero-row case
+    (e.g. tiny scale factors where every checks&counters pair fails the
+    n > 20 gate)."""
+    from stats_ray.schema import to_pandas_typed
+    return to_pandas_typed(ds)
 
 
 _PARSED_CACHE: dict[str, Any] = {}

@@ -54,6 +54,7 @@ def cmd_stats(args):
     _ray()
     from .pipelines.usage import run_flagship
     corpus = args.corpus
+    lineage_extra = None
     if getattr(args, "from_logs", False):
         # Raw-log tree ingest (S2): map YYYY-MM-DD/format trees into the
         # tokens-contract Parquet layout ONCE (under out/ingested), then
@@ -82,9 +83,13 @@ def cmd_stats(args):
             with open(marker, "w") as f:
                 json.dump(spec, f)
         corpus = ingested
+        # the ingested corpus path is FIXED under out/, so the ingest spec
+        # must be part of the flagship's resume lineage — otherwise a
+        # re-ingest with a new range would not invalidate old checkpoints
+        lineage_extra = {"ingest": spec}
     counts = run_flagship(corpus, args.out,
                           families=args.families.split(",") if args.families
-                          else None)
+                          else None, lineage_extra=lineage_extra)
     print(json.dumps(counts))
 
 

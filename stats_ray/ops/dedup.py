@@ -158,14 +158,6 @@ class MinHasher:
         self.b = rs.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, shingles: set[str]) -> np.ndarray:
-        if not shingles:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        hs = _hash_str_array(sorted(shingles))
-        with np.errstate(over="ignore"):
-            vals = self.a[None, :] * hs[:, None] + self.b[None, :]
-        return vals.min(axis=0)
-
     def signatures(self, hashes: np.ndarray, doc_idx: np.ndarray,
                    ndocs: int) -> np.ndarray:
         """(ndocs, num_perm) signature matrix from batch shingle hashes

@@ -27,15 +27,8 @@ def _r4(df: pd.DataFrame, cols, p: int = 4) -> pd.DataFrame:
 def _pd(ds):
     if isinstance(ds, pd.DataFrame):
         return ds
-    df = ds.to_pandas()
-    if not len(df.columns):
-        # a fully-empty Dataset drops its schema in to_pandas(); rebuild
-        # the typed empty frame from the (still known) Arrow schema so
-        # downstream column selects / rounds survive the zero-row case
-        base = getattr(ds.schema(), "base_schema", None)
-        if base is not None:
-            df = base.empty_table().to_pandas()
-    return df
+    from ..schema import to_pandas_typed
+    return to_pandas_typed(ds)
 
 
 # ---------------------------------------------------------------------------

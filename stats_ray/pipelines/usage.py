@@ -193,17 +193,20 @@ class AggSpill:
         self._fallback_schemas: dict[str, object] = {}
         for name, ds in report_aggs(parsed).items():
             d = os.path.join(spill_dir, name)
+            # materialize once: the aggregate output is already reduced
+            # (object-store-sized, auto-spilled), the write streams from
+            # the executed blocks, and schema() below is then metadata —
+            # calling schema() on the un-materialized plan after
+            # write_parquet would RE-EXECUTE the whole aggregation
+            # (measured: 2x task count) just to learn column names
+            ds = ds.materialize()
             ds.write_parquet(d, partition_cols=["format"])
             self.dirs[name] = d
             if not self._partitions(d):
-                # a family with zero rows in EVERY format writes no files at
-                # all, so _empty would have no schema source and renderers
-                # would KeyError on column selection; capture the dataset's
-                # own schema (cheap: the plan just executed and is empty)
-                try:
-                    self._fallback_schemas[name] = ds.schema()
-                except Exception:
-                    self._fallback_schemas[name] = None
+                # a family with zero rows in EVERY format writes no files
+                # at all, so _empty would have no schema source and
+                # renderers would KeyError on column selection
+                self._fallback_schemas[name] = ds.schema()
         self.parts = {name: self._partitions(d)
                       for name, d in self.dirs.items()}
         self._empties: dict[str, "pd.DataFrame"] = {}
@@ -239,14 +242,10 @@ class AggSpill:
                 # globally-empty family: no spill files anywhere — fall back
                 # to the schema captured at spill time so renderers can still
                 # select this family's columns
-                schema = self._fallback_schemas.get(name)
-                base = getattr(schema, "base_schema", None)
-                if base is not None:
-                    df = base.empty_table().to_pandas()
-                    if "format" not in df.columns:
-                        df.insert(0, "format", pd.Series(dtype="object"))
-                else:
-                    df = pd.DataFrame()
+                from ..schema import empty_frame
+                df = empty_frame(self._fallback_schemas.get(name))
+                if len(df.columns) and "format" not in df.columns:
+                    df.insert(0, "format", pd.Series(dtype="object"))
             self._empties[name] = df
         return self._empties[name].copy()
 
@@ -488,7 +487,8 @@ def render_monotype_reports(parsed: Dataset, out_dir: str,
 
 
 def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
-                 concurrency=None, parse_shards: int = 8) -> dict[str, int]:
+                 concurrency=None, parse_shards: int = 8,
+                 lineage_extra: dict | None = None) -> dict[str, int]:
     """Parse once (in `parse_shards` independently-checkpointed input
     shards), route to parquet, then aggregate each family from the routed
     copy. Resumable at PARTITION granularity (S4 / north rule): each parse
@@ -503,8 +503,14 @@ def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
     from .. import __version__
     from ..state.checkpoints import Manifest
 
+    # lineage_extra lets a caller fold upstream provenance into the resume
+    # key — e.g. the --from-logs ingest spec: the ingested corpus lives at
+    # a FIXED path under out/, so without the spec a re-ingest with a new
+    # date range would not invalidate these checkpoints and a resumed run
+    # would silently return the old range's results.
     manifest = Manifest(out_dir, lineage={"corpus": corpus_dir,
-                                          "engine": __version__})
+                                          "engine": __version__,
+                                          **(lineage_extra or {})})
 
     all_files = [p for p in _glob.glob(f"{corpus_dir}/battles/**/*",
                                        recursive=True)

@@ -55,3 +55,26 @@ PARSED_SCHEMA = pa.schema(
     + [("p1_tags", pa.list_(pa.string())), ("p2_tags", pa.list_(pa.string())),
        ("slots", pa.list_(SLOT_T)), ("matchups", pa.list_(MATCHUP_T))]
 )
+
+
+def empty_frame(schema):
+    """Typed zero-row pandas frame from a Ray Data or Arrow schema (the
+    shared kernel of the typed-empty fallbacks below)."""
+    import pandas as pd
+
+    base = getattr(schema, "base_schema", schema)
+    if base is None or not hasattr(base, "empty_table"):
+        return pd.DataFrame()
+    return base.empty_table().to_pandas()
+
+
+def to_pandas_typed(ds):
+    """Dataset.to_pandas with a typed-empty fallback: a fully-empty Dataset
+    drops its schema in to_pandas(), which breaks downstream column access
+    in the zero-row case (empty partitions/selections, gates that filter
+    everything). Single shared implementation — used by the driver entry,
+    the ops queries, and the report spill path."""
+    df = ds.to_pandas()
+    if not len(df.columns):
+        df = empty_frame(ds.schema())
+    return df

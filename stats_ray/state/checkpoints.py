@@ -112,6 +112,20 @@ def cleanup_root(root: str, *, remove_unreferenced: bool = False) -> dict:
     partition dirs no manifest entry of ANY lineage references (stale
     output from a since-changed config). Returns what was removed."""
     keys: set[str] = set()
+    rootabs = os.path.abspath(root)
+
+    def _protect_lineage_paths(value) -> None:
+        # lineage values that name paths under the root (e.g. the
+        # --from-logs ingested corpus at out/ingested) are live data the
+        # checkpoints depend on, not stale output — never GC them
+        if isinstance(value, dict):
+            for v in value.values():
+                _protect_lineage_paths(v)
+        elif isinstance(value, str):
+            p = os.path.abspath(value)
+            if p != rootabs and p.startswith(rootabs + os.sep):
+                keys.add(os.path.relpath(p, rootabs))
+
     mp = os.path.join(root, "manifest.jsonl")
     if os.path.exists(mp):
         with open(mp) as f:
@@ -120,9 +134,11 @@ def cleanup_root(root: str, *, remove_unreferenced: bool = False) -> dict:
                 if not line:
                     continue
                 try:
-                    keys.add(json.loads(line)["key"])
+                    e = json.loads(line)
+                    keys.add(e["key"])
                 except (json.JSONDecodeError, KeyError):
                     continue
+                _protect_lineage_paths(e.get("lineage") or {})
     removed = {"tmp": [], "unreferenced": []}
     if not os.path.isdir(root):
         return removed

@@ -158,16 +158,20 @@ def run_worker(worker_cls, corpus: str, out: str,
         ds = parse_pipeline(corpus)
 
     if hasattr(worker, "accept"):
-        fmts = sorted(r["format"] for r in
-                      ds.groupby("format").count().take_all())
-        keep = {f for f in fmts if worker.accept(f)}
-        if keep != set(fmts):
-            keep_arr = pa.array(sorted(keep), pa.string())
+        # gate per batch over the batch's few distinct formats — a driver
+        # pre-pass to enumerate formats would execute the whole (lazy)
+        # pipeline once just to learn the names, then again for apply
+        acc = worker.accept
 
-            def _gate(t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(t["format"], value_set=keep_arr))
+        def _gate(t: pa.Table) -> pa.Table:
+            fmts = pc.unique(t["format"]).to_pylist()
+            allowed = [f for f in fmts if acc(f)]
+            if len(allowed) == len(fmts):
+                return t
+            return t.filter(pc.is_in(
+                t["format"], value_set=pa.array(allowed, pa.string())))
 
-            ds = ds.map_batches(_gate, batch_format="pyarrow")
+        ds = ds.map_batches(_gate, batch_format="pyarrow")
 
     result = worker.apply(ds)
 
@@ -178,6 +182,10 @@ def run_worker(worker_cls, corpus: str, out: str,
             _combine, batch_format="pandas")
 
     part = ["format"] if "format" in result.schema().names else None
+    # the out dir is this run's result sink: write_parquet APPENDS files,
+    # so a re-run into a populated dir would duplicate every row — rebuild
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     if part:
         result.write_parquet(out, partition_cols=part)
