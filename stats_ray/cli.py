@@ -65,14 +65,20 @@ def cmd_stats(args):
         import shutil
 
         from .sources.logs import read_logs_tree
-        ingested = os.path.join(args.out, "ingested")
+        # absolute: this path lands in the resume lineage AND in cleanup's
+        # lineage-path protection, both of which must not depend on the
+        # cwd the run (or a later `cleanup`) happens to start from
+        ingested = os.path.join(os.path.abspath(args.out), "ingested")
         marker = os.path.join(ingested, "_INGESTED.json")
         spec = {"root": os.path.abspath(args.corpus), "begin": args.begin,
                 "end": args.end, "formats": args.formats}
         done = None
         if os.path.exists(marker):
-            with open(marker) as f:
-                done = json.load(f)
+            try:
+                with open(marker) as f:
+                    done = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                done = None  # torn marker (killed mid-write): rebuild
         if done != spec:
             shutil.rmtree(ingested, ignore_errors=True)
             ds = read_logs_tree(args.corpus,
@@ -80,8 +86,10 @@ def cmd_stats(args):
                                 formats=args.formats.split(",")
                                 if args.formats else None)
             ds.write_parquet(os.path.join(ingested, "battles"))
-            with open(marker, "w") as f:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(spec, f)
+            os.replace(tmp, marker)  # atomic: never leaves a torn marker
         corpus = ingested
         # the ingested corpus path is FIXED under out/, so the ingest spec
         # must be part of the flagship's resume lineage — otherwise a

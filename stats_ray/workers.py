@@ -158,20 +158,24 @@ def run_worker(worker_cls, corpus: str, out: str,
         ds = parse_pipeline(corpus)
 
     if hasattr(worker, "accept"):
-        # gate per batch over the batch's few distinct formats — a driver
-        # pre-pass to enumerate formats would execute the whole (lazy)
-        # pipeline once just to learn the names, then again for apply
-        acc = worker.accept
+        # accept runs ON THE DRIVER, once per distinct format (the
+        # reference's worker contract, and it keeps unpicklable worker
+        # state — DB handles, open files — off the executors). Formats are
+        # enumerated with a column-pruned scan of the source column only,
+        # never by executing the parse pipeline twice.
+        from .stages.parse import canonicalize_format
+        srcs = read_battles(corpus, columns=["source"]).unique("source")
+        raw_fmts = {s.split("/", 1)[0] for s in srcs}
+        cand = sorted(raw_fmts) if raw else \
+            sorted({canonicalize_format(f) for f in raw_fmts})
+        keep = {f for f in cand if worker.accept(f)}
+        if keep != set(cand):
+            keep_arr = pa.array(sorted(keep), pa.string())
 
-        def _gate(t: pa.Table) -> pa.Table:
-            fmts = pc.unique(t["format"]).to_pylist()
-            allowed = [f for f in fmts if acc(f)]
-            if len(allowed) == len(fmts):
-                return t
-            return t.filter(pc.is_in(
-                t["format"], value_set=pa.array(allowed, pa.string())))
+            def _gate(t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t["format"], value_set=keep_arr))
 
-        ds = ds.map_batches(_gate, batch_format="pyarrow")
+            ds = ds.map_batches(_gate, batch_format="pyarrow")
 
     result = worker.apply(ds)
 
@@ -184,9 +188,27 @@ def run_worker(worker_cls, corpus: str, out: str,
     part = ["format"] if "format" in result.schema().names else None
     # the out dir is this run's result sink: write_parquet APPENDS files,
     # so a re-run into a populated dir would duplicate every row — rebuild
+    # the dir, but ONLY if a sentinel says a prior run_worker wrote it
+    # (never delete a user directory that holds anything else, e.g. a
+    # flagship checkpoint root or an ingested corpus)
+    import json
     import shutil
-    shutil.rmtree(out, ignore_errors=True)
+    marker = os.path.join(out, "_WORKER_SINK.json")
+    if os.path.isdir(out) and os.listdir(out):
+        if not os.path.exists(marker):
+            raise FileExistsError(
+                f"run_worker: out dir {out!r} is non-empty and was not "
+                "written by run_worker (no _WORKER_SINK.json sentinel) — "
+                "refusing to delete it; point --out at a new or empty "
+                "directory")
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
+    # claim the dir BEFORE writing ("_" prefix: excluded from parquet
+    # discovery): a run killed mid-write leaves the sentinel behind, so
+    # the retry rebuilds instead of refusing — only dirs run_worker never
+    # claimed are protected
+    with open(marker, "w") as f:
+        json.dump({"worker": type(worker).__name__, "complete": False}, f)
     if part:
         result.write_parquet(out, partition_cols=part)
     else:
@@ -194,4 +216,7 @@ def run_worker(worker_cls, corpus: str, out: str,
     # count from the written footers — metadata-only, never re-reads data
     import ray.data
     n = ray.data.read_parquet(out).count()
+    with open(marker, "w") as f:
+        json.dump({"worker": type(worker).__name__, "complete": True,
+                   "rows": int(n)}, f)
     return {"rows": int(n)}
