@@ -214,8 +214,11 @@ def _recorded_scaling() -> dict:
                       "SCALING.json")
     if not os.path.exists(sp):
         return {}
-    with open(sp) as f:
-        return {"scaling_recorded": json.load(f)}
+    try:
+        with open(sp) as f:
+            return {"scaling_recorded": json.load(f)}
+    except (json.JSONDecodeError, OSError):
+        return {}  # torn/corrupt file must not sink a finished bench run
 
 
 def run_scaling() -> dict:
@@ -268,9 +271,11 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling = run_scaling()
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SCALING.json"), "w") as f:
+        sp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "SCALING.json")
+        with open(sp + ".tmp", "w") as f:
             json.dump(scaling, f, indent=1)
+        os.replace(sp + ".tmp", sp)  # atomic: a kill can't tear the record
         print(json.dumps(scaling))
     else:
         result = run_bench()

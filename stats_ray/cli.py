@@ -64,14 +64,22 @@ def cmd_stats(args):
         # duplicate every battle); an interrupted one is rebuilt fresh.
         import shutil
 
-        from .sources.logs import read_logs_tree
+        from . import __version__
+        from .sources.logs import read_logs_tree, tree_fingerprint
         # absolute: this path lands in the resume lineage AND in cleanup's
         # lineage-path protection, both of which must not depend on the
         # cwd the run (or a later `cleanup`) happens to start from
         ingested = os.path.join(os.path.abspath(args.out), "ingested")
         marker = os.path.join(ingested, "_INGESTED.json")
+        fmt_list = args.formats.split(",") if args.formats else None
+        # the marker keys on the selection AND the selected files' content
+        # fingerprint AND the engine version: files arriving later within
+        # the same range, or a tokenizer change, both force re-ingest
         spec = {"root": os.path.abspath(args.corpus), "begin": args.begin,
-                "end": args.end, "formats": args.formats}
+                "end": args.end, "formats": args.formats,
+                "tree": tree_fingerprint(args.corpus, begin=args.begin,
+                                         end=args.end, formats=fmt_list),
+                "engine": __version__}
         done = None
         if os.path.exists(marker):
             try:
@@ -83,8 +91,7 @@ def cmd_stats(args):
             shutil.rmtree(ingested, ignore_errors=True)
             ds = read_logs_tree(args.corpus,
                                 begin=args.begin, end=args.end,
-                                formats=args.formats.split(",")
-                                if args.formats else None)
+                                formats=fmt_list)
             ds.write_parquet(os.path.join(ingested, "battles"))
             tmp = marker + ".tmp"
             with open(tmp, "w") as f:

@@ -79,10 +79,11 @@ def _hash_str_array(arr) -> np.ndarray:
     return pd.util.hash_array(a)
 
 
-def _flat_words(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Whitespace-split every doc; return (flat object array of all words
-    in doc order, int64 word count per doc)."""
-    words = [t.split() for t in texts]
+def _flat_words(texts, tokenize=None) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize every doc (default: whitespace split); return (flat object
+    array of all words in doc order, int64 word count per doc)."""
+    words = [tokenize(t) for t in texts] if tokenize else \
+        [t.split() for t in texts]
     lens = np.fromiter((len(w) for w in words), dtype=np.int64,
                        count=len(words))
     flat = np.empty(int(lens.sum()), dtype=object)
@@ -793,14 +794,7 @@ def _gram_windows(sf_dir: str, k: int, hash_grams: bool = False) -> Dataset:
     docs = read_documents(sf_dir, ["doc_id", "text"])
 
     def explode_hashed(df: pd.DataFrame) -> pd.DataFrame:
-        words = [_words(t) for t in df["text"]]
-        lens = np.fromiter((len(w) for w in words), dtype=np.int64,
-                           count=len(words))
-        flat = np.empty(int(lens.sum()), dtype=object)
-        p = 0
-        for w in words:
-            flat[p:p + len(w)] = w
-            p += len(w)
+        flat, lens = _flat_words(df["text"], tokenize=_words)
         hw = _hash_str_array(flat)
         total = len(hw)
         empty = pd.DataFrame({"gram": pd.Series(dtype="int64"),

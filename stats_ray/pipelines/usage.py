@@ -190,6 +190,7 @@ class AggSpill:
         import os
 
         self.dirs: dict[str, str] = {}
+        self.parts: dict[str, dict[str, str]] = {}
         self._fallback_schemas: dict[str, object] = {}
         for name, ds in report_aggs(parsed).items():
             d = os.path.join(spill_dir, name)
@@ -202,13 +203,12 @@ class AggSpill:
             ds = ds.materialize()
             ds.write_parquet(d, partition_cols=["format"])
             self.dirs[name] = d
-            if not self._partitions(d):
+            self.parts[name] = self._partitions(d)
+            if not self.parts[name]:
                 # a family with zero rows in EVERY format writes no files
                 # at all, so _empty would have no schema source and
                 # renderers would KeyError on column selection
                 self._fallback_schemas[name] = ds.schema()
-        self.parts = {name: self._partitions(d)
-                      for name, d in self.dirs.items()}
         self._empties: dict[str, "pd.DataFrame"] = {}
 
     @staticmethod

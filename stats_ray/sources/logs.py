@@ -76,6 +76,24 @@ def list_log_tree(root: str, *, begin: str | None = None,
     return paths
 
 
+def tree_fingerprint(root: str, *, begin: str | None = None,
+                     end: str | None = None,
+                     formats: list[str] | None = None) -> str:
+    """Cheap content fingerprint of the selected slice of a log tree:
+    blake2b over every selected file's (relative path, size, mtime_ns).
+    One driver-side walk (the same one ingestion does), no file reads —
+    used by the --from-logs ingest marker so files that ARRIVE after the
+    first ingest within the same (root, begin, end, formats) selection
+    force a re-ingest instead of being silently excluded forever."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for p in list_log_tree(root, begin=begin, end=end, formats=formats):
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, root)}\0{st.st_size}\0"
+                 f"{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def _tokenize_logs(t: pa.Table) -> pa.Table:
     """Batch kernel: raw file bytes -> tokens-contract rows. Gunzip is
     per-file (transparent, fs.ts:70-72); the JSON canonicalization matches

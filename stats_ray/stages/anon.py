@@ -157,7 +157,13 @@ def sample_mask(doc_ids: list[str], rate: float, salt: str = "anon") -> list[boo
     the reference's PRNG-order-dependent sampling, anon.ts:82-92).
     Vectorized: one keyed-siphash pass over the salted ids (the same
     process-stable hash family the exchange partitions by), replacing the
-    former per-doc Python md5 loop."""
+    former per-doc Python md5 loop.
+
+    Version note: the hash family changed from md5 (pre-r5) to pandas'
+    fixed-key SipHash — a given (salt, rate) selects a DIFFERENT subset
+    than pre-r5 builds. Determinism holds across runs/processes of the
+    same build (pandas pins the siphash key); subsets published by older
+    builds cannot be extended with this function."""
     import numpy as np
     import pandas as pd
 

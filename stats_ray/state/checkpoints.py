@@ -27,6 +27,11 @@ class Manifest:
         os.makedirs(root, exist_ok=True)
         self._done: dict[str, dict] = {}
         if os.path.exists(self.path):
+            # Last entry per key wins REGARDLESS of lineage: a later run
+            # with a different lineage overwrote the partition dir on disk,
+            # so an older matching-lineage entry for the same key is stale —
+            # resuming from it would serve the other run's data (A→B→A).
+            last: dict[str, dict] = {}
             with open(self.path) as f:
                 for line in f:
                     line = line.strip()
@@ -36,8 +41,10 @@ class Manifest:
                         e = json.loads(line)
                     except json.JSONDecodeError:
                         continue  # torn write of the final line
-                    if match_any_lineage or e.get("lineage") == self.lineage:
-                        self._done[e["key"]] = e
+                    last[e["key"]] = e
+            self._done = {k: e for k, e in last.items()
+                          if match_any_lineage
+                          or e.get("lineage") == self.lineage}
 
     def done(self, key: str) -> bool:
         return key in self._done

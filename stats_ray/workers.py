@@ -144,6 +144,21 @@ def run_worker(worker_cls, corpus: str, out: str,
     from .pipelines.usage import parse_pipeline, read_battles
 
     worker = worker_cls(config)
+    if hasattr(worker, "combine"):
+        # combine runs ON THE EXECUTORS (map_groups closes over the worker
+        # instance), unlike accept/apply which stay on the driver — so a
+        # combine-bearing worker must be picklable. Check NOW, before any
+        # pipeline work, not after a long apply() has already executed.
+        from ray import cloudpickle
+        try:
+            cloudpickle.dumps(worker)
+        except Exception as e:
+            raise TypeError(
+                f"worker {worker_cls.__name__} defines combine() but the "
+                "instance is not picklable — combine executes on Ray "
+                "workers. Keep unpicklable state (DB handles, open files) "
+                "out of __init__, or open it lazily inside combine()."
+            ) from e
     raw = getattr(worker, "input", "parsed") == "raw"
     if raw:
         ds = read_battles(corpus)

@@ -88,6 +88,33 @@ def test_manifest_resume(tmp_path):
     assert len(calls) == 2
 
 
+def test_manifest_lineage_flip_flop_not_stale(tmp_path):
+    """A->B->A lineage: run under lineage A, re-run under lineage B (disk
+    now holds B's data), then come back to lineage A. The old A entry must
+    NOT satisfy resume — the partition dir was overwritten by B, so A must
+    recompute (last manifest entry per key wins, regardless of lineage)."""
+    from stats_ray.state.checkpoints import Manifest
+    root = str(tmp_path / "flip")
+
+    def writer(tag):
+        def work(out_dir):
+            with open(os.path.join(out_dir, "part.json"), "w") as f:
+                json.dump({"tag": tag}, f)
+            return {"rows": 1}
+        return work
+
+    L1, L2 = {"range": "jan"}, {"range": "feb"}
+    Manifest(root, lineage=L1).run("k", writer("JAN"))
+    Manifest(root, lineage=L2).run("k", writer("FEB"))
+    m = Manifest(root, lineage=L1)
+    assert not m.done("k")  # stale: disk holds FEB
+    m.run("k", writer("JAN"))
+    with open(os.path.join(m.partition_dir("k"), "part.json")) as f:
+        assert json.load(f)["tag"] == "JAN"
+    # and a fresh L1 manifest now resumes (its entry IS the last one)
+    assert Manifest(root, lineage=L1).done("k")
+
+
 def test_manifest_partial_write_not_marked(tmp_path):
     from stats_ray.state.checkpoints import Manifest
     m = Manifest(str(tmp_path / "c2"), lineage={})

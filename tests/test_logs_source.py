@@ -101,6 +101,29 @@ def test_list_log_tree_numeric_collation(tmp_path):
                      "battle-gen9ou-10.log.json"]
 
 
+def test_tree_fingerprint_tracks_arrivals(tmp_path):
+    """The ingest marker keys on a content fingerprint: a file ARRIVING
+    inside an already-ingested range must change the fingerprint (else
+    re-runs skip the ingest and the new battles are excluded forever);
+    an unchanged tree must fingerprint identically across calls."""
+    import os
+
+    from stats_ray.sources.logs import tree_fingerprint
+
+    d = tmp_path / "gen9ou" / "2026-07-01"
+    os.makedirs(d)
+    (d / "battle-gen9ou-1.log.json").write_text("{}")
+    fp1 = tree_fingerprint(str(tmp_path))
+    assert fp1 == tree_fingerprint(str(tmp_path))  # stable
+    (d / "battle-gen9ou-2.log.json").write_text("{}")
+    fp2 = tree_fingerprint(str(tmp_path))
+    assert fp2 != fp1  # arrival detected
+    # selection-scoped: a file outside the day range doesn't perturb it
+    fp_r = tree_fingerprint(str(tmp_path), end="2026-06-30")
+    (d / "battle-gen9ou-3.log.json").write_text("{}")
+    assert tree_fingerprint(str(tmp_path), end="2026-06-30") == fp_r
+
+
 @pytest.mark.slow
 def test_cli_stats_from_logs_idempotent(log_tree, tmp_path):
     """Re-running stats --from-logs must not duplicate ingested battles

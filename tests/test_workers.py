@@ -143,6 +143,44 @@ def test_run_worker_raw_input(ray_session, small_corpus, tmp_path):
     assert (got == want.sort_index()).all()
 
 
+def test_run_worker_unpicklable_combine_fails_fast(ray_session,
+                                                   small_corpus, tmp_path):
+    """combine() executes on Ray workers (map_groups), so a combine-bearing
+    worker holding unpicklable state must be rejected BEFORE any pipeline
+    work runs — not with a cloudpickle TypeError after a long apply()."""
+    from stats_ray.workers import run_worker
+
+    class BadWorker:
+        options = {}
+
+        def __init__(self, config):
+            import threading
+            self.lock = threading.Lock()  # not picklable
+
+        def apply(self, ds):  # pragma: no cover - must never be reached
+            raise AssertionError("apply ran before the pickle check")
+
+        def combine(self, fmt, df):  # pragma: no cover
+            return df
+
+    with pytest.raises(TypeError, match="not picklable"):
+        run_worker(BadWorker, small_corpus, str(tmp_path / "bad"), {})
+
+
+def test_run_worker_refuses_foreign_out_dir(ray_session, small_corpus,
+                                            tmp_path):
+    """The sink-rebuild rmtree must only ever delete a dir run_worker
+    itself claimed (_WORKER_SINK.json) — a populated user dir is refused."""
+    from stats_ray.workers import load_worker, run_worker
+
+    out = tmp_path / "precious"
+    out.mkdir()
+    (out / "checkpoint.bin").write_bytes(b"do not delete")
+    with pytest.raises(FileExistsError, match="refusing"):
+        run_worker(load_worker("stats/usage"), small_corpus, str(out), {})
+    assert (out / "checkpoint.bin").exists()
+
+
 @pytest.mark.slow
 def test_cli_run_anon_worker(small_corpus, tmp_path):
     # unsalted: synth nicknames equal species names, so pokemon.name ==
