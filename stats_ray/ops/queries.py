@@ -543,7 +543,7 @@ def _q_dup_spans(sf_dir: str):
 _SQL_DUP_SPANS = r"""
 WITH words AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                      x -> x <> '') AS w
   FROM documents
 ),
@@ -588,7 +588,7 @@ _SQL_DUP_CLUSTERS = r"""
 WITH RECURSIVE
 words AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'),
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                      x -> x <> '') AS w
   FROM documents
 ),

@@ -383,10 +383,10 @@ def pack_sequences(sf_dir: str, capacity: int = 512,
         else read_documents(sf_dir, ["doc_id", "text"])
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
-        # ASCII-whitespace token count (runs of non-[ \t\n\r\f\v]) — matches
-        # the RE2 \s+ the SQL oracle splits on; Python str.split() would
-        # also split on unicode whitespace (\xa0,  , ...)
-        n = (df["text"].str.count(r"[^ \t\n\r\f\v]+")
+        # ASCII-whitespace token count (runs of non-[ \t\n\r\f]) -- matches
+        # the RE2 \s+ the SQL oracle splits on (RE2 \s excludes \v); Python
+        # str.split() would also split on \v and unicode whitespace (\xa0, ...)
+        n = (df["text"].str.count(rf"[^{RE2_WS}]+")
              .fillna(0).astype("int64"))
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
