@@ -681,6 +681,59 @@ def test_ws_tokenizers_match_re2_on_nonascii_whitespace(ray_session, tmp_path):
     con2.close()
 
 
+def test_dup_and_pack_kernels_match_re2_on_nonascii_whitespace(
+        ray_session, tmp_path):
+    """Same RE2-vs-Python \\s divergence as above, pinned on the other
+    three whitespace-splitting kernels: dup_spans / dup_clusters (5-gram
+    tokenization) and pack_sequences (token counts). '\\x0b' (\\v) and
+    U+00A0 are Python-\\s whitespace but NOT RE2 whitespace, so e.g.
+    'four\\x0bfive' must stay ONE word on both sides."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stats_ray.ops import queries as gq
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        shared + " one",                      # shares a 5-gram with docs 1/4
+        shared + " two",
+        # \v-joined twin: identical to docs 0/1 under Python \s splitting,
+        # but "gamma\x0bdelta" is one RE2 token, so NO shared 5-gram here
+        "alpha beta gamma\x0bdelta epsilon zeta three",
+        # NBSP/U+2028 twin: same story for Unicode-only whitespace
+        "alpha\xa0beta gamma delta\u2028epsilon zeta spawn",
+        # plain-ASCII control: MUST share a 5-gram with docs 0/1
+        shared + " four",
+        "tab\tsplit\nwords mix\xa0\x0b end pad pad2",
+        "",
+    ]
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    for qname in ("doc_dup_spans", "doc_dup_clusters", "doc_pack_sequences"):
+        eng = gq.QUERIES[qname](str(tmp_path))
+        eng = eng.reindex(sorted(eng.columns), axis=1) \
+            .sort_values(sorted(eng.columns)).reset_index(drop=True)
+        ora = con2.execute(gq.ORACLES[qname]).df()
+        ora = ora.reindex(sorted(ora.columns), axis=1) \
+            .sort_values(sorted(ora.columns)).reset_index(drop=True)
+        for c in eng.columns:
+            if eng[c].dtype.kind in "iu":
+                eng[c] = eng[c].astype("int64")
+                ora[c] = ora[c].astype("int64")
+        assert eng.equals(ora), f"{qname}\n{eng}\nvs oracle\n{ora}"
+    # the \v / NBSP twins must NOT enter any dup span; the plain-ASCII
+    # control doc MUST (its 5-grams match docs 0/1 under RE2 tokenization)
+    spans = gq.QUERIES["doc_dup_spans"](str(tmp_path))
+    assert set(spans["doc_id"]) == {0, 1, 4}
+    con2.close()
+
+
 def test_query_registry_consistent(con):
     """Every oracle belongs to a registered query, and every oracle SQL at
     least plans in DuckDB against the real views — a typo in an ORACLES
