@@ -263,7 +263,8 @@ def cmd_cleanup(args):
     (logs/DESIGN.md:39-87). Pure filesystem — no Ray session."""
     from .state.checkpoints import Manifest, cleanup_root
     removed = cleanup_root(args.root,
-                           remove_unreferenced=args.unreferenced)
+                           remove_unreferenced=args.unreferenced,
+                           min_tmp_age_sec=args.tmp_age)
     tombstoned = []
     if args.tombstone:
         m = Manifest(args.root, match_any_lineage=True)
@@ -420,6 +421,10 @@ def main(argv=None):
     sp.add_argument("--tombstone", default=None,
                     help="comma-separated completed partition keys whose "
                          "data to reclaim (resume markers kept)")
+    sp.add_argument("--tmp-age", type=float, default=3600.0,
+                    help="only GC *.tmp-* scratch older than this many "
+                         "seconds (guards a concurrently running job's "
+                         "live scratch; 0 = remove regardless)")
     sp.set_defaults(fn=cmd_cleanup)
 
     sp = sub.add_parser("synth")

@@ -405,10 +405,18 @@ class SimHash:
         # over 32k words could overflow the int16 segment sum, so such
         # batches fall back to int32.
         bt = np.int16 if lp.max() < 32000 else np.int32
+        # extract planes one at a time through a reusable 1-D uint64
+        # scratch, casting into the int16 matrix on assignment: peak temp
+        # is 8 bytes/word + the 2-byte/word/plane bits matrix, instead of
+        # two full (n_words x 16) uint64 temps per group
+        scratch = np.empty(len(hw), dtype=np.uint64)
+        bits = np.empty((len(hw), 16), dtype=bt)
         for g in range(0, 64, 16):
             shifts = np.arange(g, g + 16, dtype=np.uint64)
-            bits = ((hw[:, None] >> shifts[None, :])
-                    & np.uint64(1)).astype(bt)
+            for j, s in enumerate(shifts):
+                np.right_shift(hw, s, out=scratch)
+                np.bitwise_and(scratch, np.uint64(1), out=scratch)
+                bits[:, j] = scratch
             counts = np.add.reduceat(bits, st, axis=0).astype(np.int64)
             votes = 2 * counts - lp[:, None]
             packed |= np.bitwise_or.reduce(

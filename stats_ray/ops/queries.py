@@ -802,7 +802,7 @@ def _q_corpus_diff(sf_dir: str):
     new = pd.DataFrame({"doc_id": [10_000_000 + i for i in range(20)],
                         "text": [f"new doc {i}" for i in range(20)]})
     right = right.union(ray.data.from_pandas(new))
-    df = corpus_diff(left, right).to_pandas()
+    df = _pd(corpus_diff(left, right))
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -955,7 +955,7 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
 
 def _q_decontaminate(sf_dir: str):
     from .decontam import decontaminate
-    df = _pd(decontaminate(sf_dir).to_pandas())
+    df = _pd(decontaminate(sf_dir))
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -987,7 +987,7 @@ WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id
 
 def _q_repetition(sf_dir: str):
     from .decontam import repetition_stats
-    df = _pd(repetition_stats(sf_dir).to_pandas())
+    df = _pd(repetition_stats(sf_dir))
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1092,7 +1092,7 @@ def _q_semantic_dedup(sf_dir: str):
 
 def _q_stratified(sf_dir: str):
     from .relational import stratified_sample
-    df = _pd(stratified_sample(sf_dir).to_pandas())
+    df = _pd(stratified_sample(sf_dir))
     return df.sort_values(["event_type", "event_id"]).reset_index(drop=True)
 
 
@@ -1163,7 +1163,7 @@ ORDER BY step_idx
 
 def _q_clean_corpus(sf_dir: str):
     from .decontam import clean_corpus
-    df = _pd(clean_corpus(sf_dir).to_pandas())
+    df = _pd(clean_corpus(sf_dir))
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1208,7 +1208,7 @@ ORDER BY s0.doc_id
 
 def _q_pack_sequences(sf_dir: str):
     from .text import pack_sequences
-    df = _pd(pack_sequences(sf_dir).to_pandas())
+    df = _pd(pack_sequences(sf_dir))
     return df.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import re
 
 import pyarrow as pa
 from ray.data import Dataset
@@ -32,7 +33,7 @@ from ..tokens import canonical_json, encode_strings
 
 _LOG_SUFFIXES = (".log.json", ".log.json.gz")
 
-_NUM_RE = __import__("re").compile(r"(\d+)")
+_NUM_RE = re.compile(r"(\d+)")
 
 
 def _numeric_key(name: str):
@@ -56,7 +57,9 @@ def list_log_tree(root: str, *, begin: str | None = None,
     correctly as plain strings), files sorted for deterministic shard
     membership."""
     paths: list[str] = []
-    fmts = sorted(formats) if formats else sorted(
+    # dedup the allowlist: a repeated format would list (and ingest) every
+    # one of its files once per occurrence
+    fmts = sorted(set(formats)) if formats else sorted(
         d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
     for fmt in fmts:
         fmt_dir = os.path.join(root, fmt)

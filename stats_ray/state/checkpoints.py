@@ -43,8 +43,9 @@ class Manifest:
                         continue  # torn write of the final line
                     last[e["key"]] = e
             self._done = {k: e for k, e in last.items()
-                          if match_any_lineage
-                          or e.get("lineage") == self.lineage}
+                          if not e.get("invalidated")
+                          and (match_any_lineage
+                               or e.get("lineage") == self.lineage)}
 
     def done(self, key: str) -> bool:
         return key in self._done
@@ -60,6 +61,19 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
         self._done[key] = e
+
+    def _invalidate(self, key: str) -> None:
+        """Append an entry that masks every prior completion of `key` (for
+        ANY lineage). Written BEFORE run() mutates an existing partition
+        dir, so a crash between the dir mutation and the new mark() leaves
+        the manifest saying 'not done' instead of pointing a stale entry at
+        another lineage's data (the A→B→A stale-serve window)."""
+        e = {"key": key, "invalidated": True, "ts": time.time()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(e) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._done.pop(key, None)
 
     def partition_dir(self, key: str) -> str:
         return os.path.join(self.root, key)
@@ -77,6 +91,13 @@ class Manifest:
         # (the driver). Concurrent writers on the same key would race the
         # final rename; shard different keys across writers instead.
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        # About to destroy/replace whatever sits at `final` (possibly
+        # another lineage's completed data, or a tombstoned placeholder):
+        # mask any prior manifest completion FIRST, so a crash anywhere in
+        # the mutate window resumes as "not done" rather than serving the
+        # wrong lineage's partition.
+        if os.path.isdir(final) or os.path.exists(f"{final}.tombstone"):
+            self._invalidate(key)
         shutil.rmtree(final, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
@@ -92,6 +113,13 @@ class Manifest:
             shutil.rmtree(final, ignore_errors=True)
             os.rename(tmp, final)
         metrics["wall_sec"] = round(time.time() - t0, 3)
+        # recomputing a tombstoned key resurrects its data: drop the
+        # placeholder so disk state never claims "reclaimed" next to a
+        # live partition dir
+        try:
+            os.unlink(f"{final}.tombstone")
+        except FileNotFoundError:
+            pass
         self.mark(key, **metrics)
         return self._done[key]
 
@@ -110,14 +138,21 @@ class Manifest:
         return True
 
 
-def cleanup_root(root: str, *, remove_unreferenced: bool = False) -> dict:
+def cleanup_root(root: str, *, remove_unreferenced: bool = False,
+                 min_tmp_age_sec: float = 0.0) -> dict:
     """GC a manifest root (the `--cleanup` analogue, logs/DESIGN.md:39-87).
 
-    Always removes orphaned ``*.tmp-*`` scratch dirs — Manifest.run cleans
-    its scratch on failure and renames atomically, but a SIGKILLed run
-    leaves orphans behind. With ``remove_unreferenced``, also removes
-    partition dirs no manifest entry of ANY lineage references (stale
-    output from a since-changed config). Returns what was removed."""
+    Removes orphaned ``*.tmp-*`` scratch dirs — Manifest.run cleans its
+    scratch on failure and renames atomically, but a SIGKILLed run leaves
+    orphans behind. ``min_tmp_age_sec`` guards against deleting the LIVE
+    scratch of a concurrently running job: scratch dirs modified within the
+    window are kept (0 = remove regardless; only safe when no job can be
+    running against this root — the CLI defaults to one hour). With
+    ``remove_unreferenced``, also removes partition dirs no manifest entry
+    of ANY lineage references (stale output from a since-changed config)
+    and ``*.tombstone`` placeholders whose key is likewise unreferenced.
+    A placeholder sitting next to a LIVE partition dir (contradictory
+    state) is always removed. Returns what was removed."""
     keys: set[str] = set()
     rootabs = os.path.abspath(root)
 
@@ -146,20 +181,39 @@ def cleanup_root(root: str, *, remove_unreferenced: bool = False) -> dict:
                 except (json.JSONDecodeError, KeyError):
                     continue
                 _protect_lineage_paths(e.get("lineage") or {})
-    removed = {"tmp": [], "unreferenced": []}
+    removed = {"tmp": [], "unreferenced": [], "tombstones": []}
     if not os.path.isdir(root):
         return removed
+    now = time.time()
     # Keys may be nested paths ("gen9ou/day=01"): a directory is partition
     # CONTENT if its root-relative path sits under some key, a partition if
     # it equals a key, and a parent of partitions if some key sits under
     # it. Only dirs in none of those relations are stale.
-    for dirpath, dirnames, _files in os.walk(root, topdown=True):
+    for dirpath, dirnames, files in os.walk(root, topdown=True):
+        for name in files:
+            if not name.endswith(".tombstone"):
+                continue
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            key = rel[:-len(".tombstone")]
+            live_dir = os.path.isdir(os.path.join(root, key))
+            if live_dir or (remove_unreferenced and key not in keys):
+                try:
+                    os.unlink(full)
+                    removed["tombstones"].append(rel)
+                except FileNotFoundError:
+                    pass
         for d in sorted(dirnames):
             full = os.path.join(dirpath, d)
             rel = os.path.relpath(full, root)
             if ".tmp-" in d:
-                shutil.rmtree(full, ignore_errors=True)
-                removed["tmp"].append(rel)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    age = float("inf")
+                if age >= min_tmp_age_sec:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed["tmp"].append(rel)
                 dirnames.remove(d)
             elif rel in keys:
                 dirnames.remove(d)  # referenced partition: don't descend

@@ -257,6 +257,77 @@ def test_manifest_cleanup_and_tombstone(tmp_path):
     assert calls == []  # still done
     assert not m.tombstone("never-ran")
 
+    # a DIFFERENT lineage recomputing the tombstoned key resurrects the
+    # data and drops the placeholder — disk never says "reclaimed" next
+    # to a live partition dir
+    m3 = Manifest(root, lineage={"v": 2})
+    m3.run("flat", work)
+    assert os.path.exists(os.path.join(root, "flat", "part.json"))
+    assert not os.path.exists(os.path.join(root, "flat.tombstone"))
+
+
+def test_manifest_crash_window_invalidates(tmp_path):
+    """A crash between mutating an existing partition dir and appending
+    the new manifest entry must not leave the OLD lineage's entry live —
+    resume would silently serve the other run's data (A->B->A)."""
+    from stats_ray.state.checkpoints import Manifest
+    root = str(tmp_path / "cw")
+
+    def work(tag):
+        def fn(out_dir):
+            with open(os.path.join(out_dir, "part.json"), "w") as f:
+                json.dump({"tag": tag}, f)
+            return {"rows": 1}
+        return fn
+
+    a = Manifest(root, lineage={"run": "A"})
+    a.run("k", work("A"))
+    # lineage B re-runs the key but is "SIGKILLed" after the rename and
+    # before mark(): simulate by making fn succeed, then crashing mark
+    b = Manifest(root, lineage={"run": "B"})
+    orig_mark = b.mark
+    b.mark = lambda *args, **kw: (_ for _ in ()).throw(KeyboardInterrupt)
+    try:
+        b.run("k", work("B"))
+    except KeyboardInterrupt:
+        pass
+    b.mark = orig_mark
+    # the dir now holds B's data; a resumed A-run must treat the key as
+    # NOT done (the invalidation masks A's old entry) and recompute
+    a2 = Manifest(root, lineage={"run": "A"})
+    assert not a2.done("k")
+    a2.run("k", work("A"))
+    with open(os.path.join(root, "k", "part.json")) as f:
+        assert json.load(f)["tag"] == "A"
+    # and once recomputed, resume skips again
+    a3 = Manifest(root, lineage={"run": "A"})
+    assert a3.done("k")
+
+
+def test_cleanup_tmp_age_guard_and_tombstone_gc(tmp_path):
+    from stats_ray.state.checkpoints import Manifest, cleanup_root
+    root = str(tmp_path / "age")
+    m = Manifest(root, lineage={"v": 1})
+    m.run("keep", lambda d: {"rows": 0})
+    os.makedirs(os.path.join(root, "live.tmp-aaaaaaaa"))
+    removed = cleanup_root(root, min_tmp_age_sec=3600)
+    assert removed["tmp"] == []          # fresh scratch protected
+    assert os.path.isdir(os.path.join(root, "live.tmp-aaaaaaaa"))
+    removed = cleanup_root(root, min_tmp_age_sec=0)
+    assert removed["tmp"] == ["live.tmp-aaaaaaaa"]
+    # a stale placeholder next to a LIVE partition dir is contradictory
+    # state: always GC'd
+    with open(os.path.join(root, "keep.tombstone"), "w") as f:
+        json.dump({"key": "keep"}, f)
+    removed = cleanup_root(root)
+    assert removed["tombstones"] == ["keep.tombstone"]
+    # an unreferenced placeholder goes with --unreferenced only
+    with open(os.path.join(root, "ghost.tombstone"), "w") as f:
+        json.dump({"key": "ghost"}, f)
+    assert cleanup_root(root)["tombstones"] == []
+    removed = cleanup_root(root, remove_unreferenced=True)
+    assert removed["tombstones"] == ["ghost.tombstone"]
+
 
 def test_cli_cleanup(tmp_path, capsys):
     from stats_ray.cli import main
@@ -267,9 +338,16 @@ def test_cli_cleanup(tmp_path, capsys):
     m.run("b", lambda d: {"rows": 0})
     os.makedirs(os.path.join(root, "a.tmp-12345678"))
     os.makedirs(os.path.join(root, "junk"))
-    main(["cleanup", "--root", root, "--unreferenced", "--tombstone", "b"])
+    # default --tmp-age (1h) protects fresh scratch: a concurrently
+    # running job's live tmp dir must survive an operator's cleanup
+    main(["cleanup", "--root", root])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tmp"] == []
+    assert os.path.isdir(os.path.join(root, "a.tmp-12345678"))
+    main(["cleanup", "--root", root, "--unreferenced", "--tombstone", "b",
+          "--tmp-age", "0"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"tmp": ["a.tmp-12345678"], "unreferenced": ["junk"],
-                   "tombstoned": ["b"]}
+                   "tombstones": [], "tombstoned": ["b"]}
     assert os.path.isdir(os.path.join(root, "a"))
     assert os.path.exists(os.path.join(root, "b.tombstone"))

@@ -56,6 +56,9 @@ def test_logs_tree_day_range_and_format_select(ray_session, log_tree):
     assert {s.split("/", 1)[0] for s in df["source"]} == {fmts[0]}
     assert len(df) == len(list_log_tree(log_tree, begin=begin, end=end,
                                         formats=[fmts[0]]))
+    # a repeated format in the allowlist must not double-ingest its files
+    assert list_log_tree(log_tree, formats=[fmts[0], fmts[0]]) == \
+        list_log_tree(log_tree, formats=[fmts[0]])
     # empty range yields a typed empty dataset, not an error
     empty = read_logs_tree(log_tree, begin="2099-01-01")
     assert empty.count() == 0
