@@ -74,8 +74,11 @@ def main(argv=None) -> int:
         oracles = E.oracle_sql_for(synth.ensure_corpus(args.sf_dir))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{args.sf_dir}/{t}.parquet')")
+        # battle-only sweeps run at scale factors that exist ONLY as a
+        # synth corpus (no testdata tables) — register what's present
+        if os.path.exists(f"{args.sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{args.sf_dir}/{t}.parquet')")
 
     results: dict[str, dict] = {}
     fails = 0
