@@ -26,6 +26,38 @@ from ..stages import aggregate as agg
 from ..stages.parse import ParseBattles
 from .. import dex
 
+
+def _shim_fsspec_http() -> None:
+    """Make `fsspec.implementations.http` importable without aiohttp.
+
+    Ray's path resolution probes `from fsspec.implementations.http import
+    HTTPFileSystem` on EVERY read/write path resolve, catching only
+    ModuleNotFoundError. With aiohttp absent the import fails every time
+    and is retried every time; two driver threads resolving paths
+    concurrently can then observe the partially-initialized module and get
+    a plain ImportError, which escapes Ray's except and kills the job.
+    Registering a stub module with a never-instantiated HTTPFileSystem
+    makes the probe succeed deterministically (and still classify every
+    real filesystem as non-HTTP, which is correct without aiohttp)."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real module imports fine; nothing to do
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # never instantiated; isinstance() target only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+_shim_fsspec_http()
+
 _SKIP_RE = "|".join(dex.SKIP_FORMAT_MARKERS)
 
 
@@ -92,6 +124,21 @@ def parse_with_quarantine(corpus_dir: str, *, concurrency=None,
 
     return (tagged.map_batches(only_good, batch_format="pyarrow"),
             tagged.map_batches(only_errors, batch_format="pyarrow"))
+
+
+def _parquet_rows(root: str) -> int:
+    """Row count from parquet FOOTERS only: re-reading just-written output
+    through a full Dataset scan doubles the stage's read I/O at scale.
+    Driver-side footer reads are metadata-sized (KBs/file) and the file
+    count per partition is bounded by the write's block count."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(root, "**", "*.parquet"),
+                                  recursive=True))
 
 
 def route_parsed(parsed: Dataset, out_dir: str) -> None:
@@ -532,36 +579,100 @@ def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
     # of the sorted file list, so a resumed run sees identical shards
     units = [files[i::k] for i in range(k)]
 
+    # shards run SEQUENTIALLY: each shard's parse uses a fixed-size actor
+    # pool sized to ~7/8 of the cluster, so two in flight would deadlock
+    # waiting on each other's actor reservations (measured, not
+    # hypothetical). The spin-up bubble per shard is seconds; at real
+    # scale each shard is minutes-to-hours of work and the bubble is
+    # noise.
     for i, unit in enumerate(units):
         def do_parse(tmp: str, unit=unit) -> dict:
             parsed = parse_pipeline(corpus_dir, concurrency=concurrency,
                                     files=unit)
             route_parsed(parsed, tmp)
-            return {"rows": ray.data.read_parquet(tmp).count(),
+            return {"rows": _parquet_rows(tmp),
                     "input_files": len(unit)}
 
         manifest.run(f"parsed-{i:04d}", do_parse)
     routed_dirs = [manifest.partition_dir(f"parsed-{i:04d}")
                    for i in range(k)]
 
-    counts = {}
-    for name in (families or AGG_FAMILIES):
-        # column-pruned per-family re-read: only the columns this family's
-        # explode touches leave storage. One lazy read per parse shard,
-        # unioned (read_parquet rejects a list of hive roots, and a union
-        # keeps each root's partition-column inference intact).
-        cols = FAMILY_COLUMNS.get(name)
+    def routed_union(cols):
+        # column-pruned re-read: only the columns the consumer's explode
+        # touches leave storage. One lazy read per parse shard, unioned
+        # (read_parquet rejects a list of hive roots, and a union keeps
+        # each root's partition-column inference intact).
         reads = [ray.data.read_parquet(d, columns=cols)
                  for d in routed_dirs]
         routed = reads[0]
         for r in reads[1:]:
             routed = routed.union(r)
+        return routed
 
-        def do_agg(tmp: str, fn=AGG_FAMILIES[name], ds=routed) -> dict:
-            out = fn(ds)
+    def write_family(name: str, out) -> int:
+        # `out` is only consumed when the key is NOT already done
+        def do_write(tmp: str) -> dict:
             out.write_parquet(tmp)
-            return {"rows": ray.data.read_parquet(tmp).count()}
+            return {"rows": _parquet_rows(tmp)}
 
-        entry = manifest.run(f"agg-{name}", do_agg)
-        counts[name] = entry["metrics"]["rows"]
-    return counts
+        return manifest.run(f"agg-{name}", do_write)["metrics"]["rows"]
+
+    names = list(families or AGG_FAMILIES)
+
+    # Shared-intermediate groups: the 4 high-cardinality families come out
+    # of ONE fused exchange (agg.fused_highcard — the same path bench.py
+    # uses; key sets identical to the standalone fns, weights equal up to
+    # FP combine order), and the 3 per-player rollups share ONE per-player
+    # shuffle. The group intermediate is materialized once —
+    # aggregate-sized, not input-sized, so it fits the object store at any
+    # input scale — and each member family keeps its OWN manifest key, so
+    # resume granularity is unchanged. A group recomputes its intermediate
+    # only when at least one member is missing.
+    FUSED_G = [n for n in agg.FUSED_SPLITS if n in names]
+    PLAYER_G = [n for n in ("unique", "viability", "unique_total")
+                if n in names]
+    solo = [n for n in names if n not in FUSED_G and n not in PLAYER_G]
+
+    def fused_group() -> dict[str, int]:
+        todo = [n for n in FUSED_G if not manifest.done(f"agg-{n}")]
+        src: dict[str, object] = {}
+        if todo:
+            cols = sorted(set().union(*(FAMILY_COLUMNS[n] for n in FUSED_G)))
+            fused = agg.fused_highcard(routed_union(cols)).materialize()
+            src = {n: agg.FUSED_SPLITS[n](fused) for n in todo}
+        return {n: write_family(n, src.get(n)) for n in FUSED_G}
+
+    def player_group() -> dict[str, int]:
+        todo = [n for n in PLAYER_G if not manifest.done(f"agg-{n}")]
+        src: dict[str, object] = {}
+        if todo:
+            per_player = agg._per_player_max(
+                routed_union(FAMILY_COLUMNS["unique"])).materialize()
+            rollups = {"unique": agg._rollup_unique,
+                       "viability": agg._rollup_viability,
+                       "unique_total": agg.unique_total_rollup}
+            src = {n: rollups[n](per_player) for n in todo}
+        return {n: write_family(n, src.get(n)) for n in PLAYER_G}
+
+    def solo_one(name: str) -> dict[str, int]:
+        out = None
+        if not manifest.done(f"agg-{name}"):
+            out = AGG_FAMILIES[name](routed_union(FAMILY_COLUMNS.get(name)))
+        return {name: write_family(name, out)}
+
+    # groups and solo families run CONCURRENTLY from driver threads:
+    # overlapping the Dataset executions keeps the cluster saturated
+    # instead of paying each stage's read+shuffle latency serially.
+    # Manifest appends are lock-serialized; every key is distinct.
+    jobs = []
+    if FUSED_G:
+        jobs.append(fused_group)
+    if PLAYER_G:
+        jobs.append(player_group)
+    jobs.extend(lambda n=n: solo_one(n) for n in solo)
+    counts: dict[str, int] = {}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(6, max(1, len(jobs)))) as ex:
+        for res in ex.map(lambda j: j(), jobs):
+            counts.update(res)
+    return {n: counts[n] for n in names}

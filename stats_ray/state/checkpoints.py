@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -24,6 +25,10 @@ class Manifest:
         self.root = root
         self.path = os.path.join(root, "manifest.jsonl")
         self.lineage = lineage or {}
+        # serializes manifest appends: run() may be called from several
+        # driver threads at once (distinct keys), e.g. concurrent
+        # aggregate families in run_flagship
+        self._wlock = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self._done: dict[str, dict] = {}
         if os.path.exists(self.path):
@@ -56,11 +61,12 @@ class Manifest:
     def mark(self, key: str, **metrics) -> None:
         e = {"key": key, "lineage": self.lineage, "ts": time.time(),
              "metrics": metrics}
-        with open(self.path, "a") as f:
-            f.write(json.dumps(e) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        self._done[key] = e
+        with self._wlock:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(e) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            self._done[key] = e
 
     def _invalidate(self, key: str) -> None:
         """Append an entry that masks every prior completion of `key` (for
@@ -69,11 +75,12 @@ class Manifest:
         the manifest saying 'not done' instead of pointing a stale entry at
         another lineage's data (the A→B→A stale-serve window)."""
         e = {"key": key, "invalidated": True, "ts": time.time()}
-        with open(self.path, "a") as f:
-            f.write(json.dumps(e) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        self._done.pop(key, None)
+        with self._wlock:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(e) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            self._done.pop(key, None)
 
     def partition_dir(self, key: str) -> str:
         return os.path.join(self.root, key)
