@@ -637,7 +637,11 @@ def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
         todo = [n for n in FUSED_G if not manifest.done(f"agg-{n}")]
         src: dict[str, object] = {}
         if todo:
-            cols = sorted(set().union(*(FAMILY_COLUMNS[n] for n in FUSED_G)))
+            # _explode_fused computes ALL four families regardless of which
+            # were requested, so the pruned read must carry all four
+            # families' columns even when FUSED_G is a subset
+            cols = sorted(set().union(
+                *(FAMILY_COLUMNS[n] for n in agg.FUSED_SPLITS)))
             fused = agg.fused_highcard(routed_union(cols)).materialize()
             src = {n: agg.FUSED_SPLITS[n](fused) for n in todo}
         return {n: write_family(n, src.get(n)) for n in FUSED_G}

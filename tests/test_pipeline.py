@@ -182,6 +182,44 @@ def test_flagship_sharded_parse_resume(ray_session, small_corpus, tmp_path):
     assert sorted(redone) == sorted(lost)
 
 
+def test_flagship_partial_group_resume(ray_session, small_corpus, tmp_path):
+    """The fused/per-player aggregate groups keep PER-FAMILY resume
+    granularity: losing one member of a shared-intermediate group
+    recomputes only that member (the group rebuilds its intermediate but
+    writes nothing over the surviving members' partitions)."""
+    import json
+    import os
+    import shutil
+
+    from stats_ray.pipelines.usage import run_flagship
+
+    fams = ["movesets", "encounters", "unique", "viability"]
+    out = str(tmp_path / "pg")
+    c1 = run_flagship(small_corpus, out, families=fams, parse_shards=2)
+    assert set(c1) == set(fams) and c1["movesets"] > 0
+
+    # lose ONE fused member and ONE player member; keep the others
+    manifest = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
+    lost = {"agg-encounters", "agg-viability"}
+    for k in lost:
+        shutil.rmtree(os.path.join(out, k))
+    with open(f"{out}/manifest.jsonl", "w") as f:
+        for e in manifest:
+            if e["key"] not in lost:
+                f.write(json.dumps(e) + "\n")
+    kept = {k: os.path.getmtime(os.path.join(out, k))
+            for k in ("agg-movesets", "agg-unique")}
+
+    c2 = run_flagship(small_corpus, out, families=fams, parse_shards=2)
+    assert c2 == c1
+    # surviving group members were NOT re-written
+    for k, mt in kept.items():
+        assert os.path.getmtime(os.path.join(out, k)) == mt
+    manifest2 = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
+    redone = [e["key"] for e in manifest2 if e["key"] in lost]
+    assert sorted(redone) == sorted(lost)
+
+
 def test_aggregates_on_empty_parsed(ray_session, parsed):
     """Production empty-partition scenario (e.g. an empty day/format
     selection): every aggregate family must yield a typed 0-row result,
