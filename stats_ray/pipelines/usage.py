@@ -47,13 +47,31 @@ def _shim_fsspec_http() -> None:
         return  # real module imports fine; nothing to do
     except ImportError:
         pass
-    mod = types.ModuleType("fsspec.implementations.http")
+    import importlib.machinery
 
-    class HTTPFileSystem:  # never instantiated; isinstance() target only
-        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+    mod.__doc__ = "stats_ray stub: aiohttp absent, HTTP filesystems unusable"
+
+    class HTTPFileSystem:
+        """isinstance() target only; constructing one re-raises the real
+        cause so an http:// path still fails with the clear message."""
+
+        def __init__(self, *a, **k):
+            raise ImportError(
+                "HTTPFileSystem requires aiohttp, which is not installed")
 
     mod.HTTPFileSystem = HTTPFileSystem
+    # a real __spec__ and a parent attribute keep every import form
+    # working (`import fsspec.implementations.http as x`,
+    # importlib.util.find_spec), not just `from ... import ...`
+    mod.__spec__ = importlib.machinery.ModuleSpec(
+        "fsspec.implementations.http", loader=None)
     sys.modules["fsspec.implementations.http"] = mod
+    try:
+        import fsspec.implementations
+        fsspec.implementations.http = mod
+    except ImportError:
+        pass
 
 
 _shim_fsspec_http()
@@ -136,8 +154,11 @@ def _parquet_rows(root: str) -> int:
 
     import pyarrow.parquet as pq
 
+    # glob.escape: a root containing [, ], * or ? must match literally,
+    # not as a pattern (silent rows=0 otherwise)
     return sum(pq.ParquetFile(f).metadata.num_rows
-               for f in glob.glob(os.path.join(root, "**", "*.parquet"),
+               for f in glob.glob(os.path.join(glob.escape(root),
+                                               "**", "*.parquet"),
                                   recursive=True))
 
 
@@ -617,7 +638,10 @@ def run_flagship(corpus_dir: str, out_dir: str, *, families=None,
 
         return manifest.run(f"agg-{name}", do_write)["metrics"]["rows"]
 
-    names = list(families or AGG_FAMILIES)
+    # dedup while preserving order: duplicate names (e.g. a repeated
+    # --families entry) would otherwise spawn two concurrent jobs writing
+    # the SAME manifest key, racing the final-dir rename
+    names = list(dict.fromkeys(families or AGG_FAMILIES))
 
     # Shared-intermediate groups: the 4 high-cardinality families come out
     # of ONE fused exchange (agg.fused_highcard — the same path bench.py

@@ -29,18 +29,32 @@ ray.shutdown()
 """
 
 
+ERRLOG = "/tmp/kill_resume_child_err.log"
+
+
 def run_child(out, kill_after=None):
     code = CHILD % {"corpus": CORPUS, "out": out}
-    p = subprocess.Popen([sys.executable, "-c", code],
-                         stdout=subprocess.PIPE, stderr=open(f"{out}/.child_err.log" if os.path.isdir(out) else "/tmp/child_err.log", "a"),
-                         text=True, start_new_session=True, cwd="/root/repo")
-    if kill_after is None:
-        out_text, _ = p.communicate(timeout=560)
-        return p.returncode, out_text
-    time.sleep(kill_after)
-    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
-    p.wait()
+    with open(ERRLOG, "a") as ef:
+        p = subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.PIPE, stderr=ef,
+                             text=True, start_new_session=True,
+                             cwd="/root/repo")
+        if kill_after is None:
+            out_text, _ = p.communicate(timeout=560)
+            return p.returncode, out_text
+        time.sleep(kill_after)
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        p.wait()
     return p.returncode, ""
+
+
+def counts_of(rc, text, phase):
+    if rc != 0 or "COUNTS " not in text:
+        tail = open(ERRLOG).read()[-2000:] if os.path.exists(ERRLOG) else ""
+        print(json.dumps({"phase": phase, "rc": rc, "error": True,
+                          "stderr_tail": tail}))
+        sys.exit(1)
+    return json.loads(text.split("COUNTS ", 1)[1])
 
 
 def manifest_entries(out):
@@ -76,7 +90,7 @@ def main():
 
     t1 = time.time()
     rc2, text = run_child(OUT)
-    resumed = json.loads(text.split("COUNTS ", 1)[1])
+    resumed = counts_of(rc2, text, "B-resumed")
     entries2 = manifest_entries(OUT)
     redone = [e["key"] for e in entries2
               if not e.get("invalidated")
@@ -94,7 +108,7 @@ def main():
 
     t2 = time.time()
     rc3, text = run_child(OUT_CLEAN)
-    clean = json.loads(text.split("COUNTS ", 1)[1])
+    clean = counts_of(rc3, text, "C-clean")
     print(json.dumps({
         "phase": "C-clean", "rc": rc3, "wall": round(time.time() - t2, 1),
         "counts_equal": clean == resumed}))
